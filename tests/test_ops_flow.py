@@ -1,0 +1,97 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from premvos_tpu.ops import channelnorm, correlation_reference, resample2d
+from premvos_tpu.ops.correlation import correlation_mxu, displacement_grid
+
+
+def numpy_correlation(f1, f2, md=4, stride=2):
+    h, w, c = f1.shape
+    d = 2 * (md // stride) + 1
+    f2p = np.pad(f2, ((md, md), (md, md), (0, 0)))
+    out = np.zeros((h, w, d * d), np.float32)
+    k = 0
+    for dy in range(-md, md + 1, stride):
+        for dx in range(-md, md + 1, stride):
+            shifted = f2p[md + dy : md + dy + h, md + dx : md + dx + w]
+            out[..., k] = (f1 * shifted).sum(-1) / c
+            k += 1
+    return out
+
+
+def test_correlation_reference_matches_numpy(rng):
+    f1 = rng.standard_normal((10, 12, 6)).astype(np.float32)
+    f2 = rng.standard_normal((10, 12, 6)).astype(np.float32)
+    got = np.asarray(correlation_reference(jnp.array(f1), jnp.array(f2), 4, 2))
+    np.testing.assert_allclose(got, numpy_correlation(f1, f2, 4, 2), rtol=1e-4, atol=1e-5)
+
+
+def test_correlation_mxu_matches_reference(rng):
+    f1 = rng.standard_normal((9, 14, 8)).astype(np.float32)
+    f2 = rng.standard_normal((9, 14, 8)).astype(np.float32)
+    a = np.asarray(correlation_reference(jnp.array(f1), jnp.array(f2), 4, 2))
+    b = np.asarray(correlation_mxu(jnp.array(f1), jnp.array(f2), 4, 2))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_correlation_zero_displacement_channel(rng):
+    # The center channel is the plain dot product f1·f2 / C.
+    f1 = rng.standard_normal((6, 6, 4)).astype(np.float32)
+    f2 = rng.standard_normal((6, 6, 4)).astype(np.float32)
+    disps, d = displacement_grid(4, 2)
+    center = int(np.where((np.asarray(disps) == 0).all(-1))[0][0])
+    vol = np.asarray(correlation_reference(jnp.array(f1), jnp.array(f2), 4, 2))
+    np.testing.assert_allclose(
+        vol[..., center], (f1 * f2).sum(-1) / 4, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_resample2d_zero_flow_identity(rng):
+    src = rng.standard_normal((8, 9, 3)).astype(np.float32)
+    flow = np.zeros((8, 9, 2), np.float32)
+    out = np.asarray(resample2d(jnp.array(src), jnp.array(flow)))
+    np.testing.assert_allclose(out, src, rtol=1e-6)
+
+
+def test_resample2d_integer_shift(rng):
+    src = rng.standard_normal((8, 8, 2)).astype(np.float32)
+    flow = np.zeros((8, 8, 2), np.float32)
+    flow[..., 0] = 2.0  # sample from x+2
+    out = np.asarray(resample2d(jnp.array(src), jnp.array(flow)))
+    np.testing.assert_allclose(out[:, :6], src[:, 2:], rtol=1e-6)
+
+
+def test_resample2d_subpixel(rng):
+    # Linear image → bilinear sampling is exact for interior pixels.
+    yy, xx = np.mgrid[0:8, 0:8].astype(np.float32)
+    src = (xx + 10 * yy)[..., None]
+    flow = np.full((8, 8, 2), 0.5, np.float32)
+    out = np.asarray(resample2d(jnp.array(src), jnp.array(flow)))[..., 0]
+    expect = (xx + 0.5) + 10 * (yy + 0.5)
+    np.testing.assert_allclose(out[:7, :7], expect[:7, :7], rtol=1e-5)
+
+
+def test_resample2d_nearest_mask(rng):
+    mask = (rng.uniform(0, 1, (8, 8, 1)) > 0.5).astype(np.float32)
+    flow = np.zeros((8, 8, 2), np.float32)
+    flow[..., 1] = 1.0
+    out = np.asarray(resample2d(jnp.array(mask), jnp.array(flow), mode="nearest"))
+    np.testing.assert_allclose(out[:7], mask[1:])
+    assert set(np.unique(out)) <= {0.0, 1.0}
+
+
+def test_channelnorm(rng):
+    x = rng.standard_normal((4, 5, 7)).astype(np.float32)
+    got = np.asarray(channelnorm(jnp.array(x)))
+    np.testing.assert_allclose(
+        got[..., 0], np.linalg.norm(x, axis=-1), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_ops_are_jittable(rng):
+    f1 = jnp.array(rng.standard_normal((6, 6, 4)), jnp.float32)
+    f2 = jnp.array(rng.standard_normal((6, 6, 4)), jnp.float32)
+    jax.jit(lambda a, b: correlation_mxu(a, b, 4, 2))(f1, f2)
+    flow = jnp.zeros((6, 6, 2))
+    jax.jit(resample2d)(f1[..., :3], flow)
