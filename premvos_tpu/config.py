@@ -1,0 +1,155 @@
+"""Single dataclass config tree for the whole pipeline.
+
+The reference has three disjoint config systems (SURVEY.md C13–C15,
+unverified — mount was empty): module-level constants for Mask R-CNN
+(`MaskRCNN/config.py`), JSON files + a typed `Config` class for the
+OnAVOS-family refinement/ReID nets, and argparse flags for the flow net.
+Here: one typed tree, JSON-loadable so run presets can mirror the
+reference's configs (configs/*.json).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ProposalConfig:
+    """Mask R-CNN-style category-agnostic proposal generator (SURVEY C1)."""
+
+    backbone_depth: int = 101  # ResNet-101 per the PReMVOS paper
+    fpn_channels: int = 256
+    # Anchors: one scale per FPN level P2..P6, 3 aspect ratios.
+    anchor_scales: tuple = (32.0, 64.0, 128.0, 256.0, 512.0)
+    anchor_ratios: tuple = (0.5, 1.0, 2.0)
+    rpn_pre_nms_topk: int = 1024  # padded static top-k per level
+    rpn_post_nms_topk: int = 256
+    rpn_nms_threshold: float = 0.7
+    detections_per_frame: int = 64  # "~20 proposals/frame" padded with headroom
+    detection_nms_threshold: float = 0.5
+    # PReMVOS keeps a LOW score threshold for high recall (~20 props/frame).
+    detection_score_threshold: float = 0.05
+    roi_align_size: int = 7
+    mask_roi_align_size: int = 14
+    mask_resolution: int = 28
+    num_classes: int = 2  # category-agnostic: object vs background
+
+
+@dataclass(frozen=True)
+class RefineConfig:
+    """DeepLabv3+-style proposal refinement net (SURVEY C2)."""
+
+    crop_size: int = 385  # reference crops 385×385 around the expanded box
+    box_margin: float = 50.0  # pixels of context around the proposal box
+    backbone_depth: int = 50
+    output_stride: int = 16
+    aspp_rates: tuple = (6, 12, 18)
+    aspp_channels: int = 256
+    decoder_channels: int = 256
+    low_level_channels: int = 48
+    # 4th input channel encodes the coarse mask/box prior.
+    in_channels: int = 4
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    """FlowNet2-style optical flow (SURVEY C3)."""
+
+    variant: str = "flownet2"  # flownetc | flownet2cs | flownet2css | flownet2
+    max_displacement: int = 20
+    corr_stride: int = 2
+    # Inference resolution must be a multiple of 64 (6 stride-2 stages).
+    infer_height: int = 448
+    infer_width: int = 832
+    div_flow: float = 20.0  # reference trains on flow/20, rescales at output
+
+
+@dataclass(frozen=True)
+class ReIDConfig:
+    """Triplet-loss embedding net (SURVEY C4)."""
+
+    backbone_depth: int = 50
+    embedding_dim: int = 128
+    crop_size: int = 128
+    triplet_margin: float = 0.2  # batch-hard triplet (Hermans et al.)
+
+
+@dataclass(frozen=True)
+class MergeConfig:
+    """Greedy merge/track scoring (SURVEY C5).
+
+    score = w_objectness·score + w_reid·reid_sim + w_warp·warp_iou
+            − w_overlap·inter-object-overlap
+    """
+
+    w_objectness: float = 1.0
+    w_reid: float = 1.0
+    w_warp: float = 1.0
+    w_overlap: float = 1.0
+    mask_threshold: float = 0.5
+    reid_sigma: float = 1.0  # reid_sim = exp(−dist²/σ²)
+    new_object_score_floor: float = 0.0
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Fused HBM-resident pipeline over a frame scan."""
+
+    image_height: int = 480
+    image_width: int = 864  # 854 padded to a 32-multiple for the backbone
+    max_objects: int = 8  # DAVIS-2017 max instances per sequence is ≤ ~10
+    max_proposals: int = 64  # = ProposalConfig.detections_per_frame
+    dtype: str = "bfloat16"  # compute dtype; params stay float32
+    mesh_axis: str = "data"  # sequences sharded across chips
+
+
+@dataclass(frozen=True)
+class FinetuneConfig:
+    """Per-video lucid-dream fine-tuning (SURVEY §3.2)."""
+
+    num_augmentations: int = 2500
+    steps: int = 500
+    learning_rate: float = 1e-4
+    batch_size: int = 8
+
+
+@dataclass(frozen=True)
+class PremvosConfig:
+    proposal: ProposalConfig = field(default_factory=ProposalConfig)
+    refine: RefineConfig = field(default_factory=RefineConfig)
+    flow: FlowConfig = field(default_factory=FlowConfig)
+    reid: ReIDConfig = field(default_factory=ReIDConfig)
+    merge: MergeConfig = field(default_factory=MergeConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    finetune: FinetuneConfig = field(default_factory=FinetuneConfig)
+
+
+def _from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, str) and f.type.endswith("Config")
+        ):
+            sub = f.default_factory()  # type: ignore[misc]
+            kwargs[f.name] = _from_dict(type(sub), v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_config(path) -> PremvosConfig:
+    """Load a JSON preset (partial trees allowed; defaults fill the rest)."""
+    with open(path) as f:
+        return _from_dict(PremvosConfig, json.load(f))
+
+
+def save_config(path, cfg: PremvosConfig) -> None:
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)

@@ -1,0 +1,165 @@
+"""Category-agnostic Mask R-CNN proposal generator (SURVEY.md C1).
+
+Reference: the TF Mask R-CNN stage (`model.py`: `rpn_head`,
+`generate_rpn_proposals`, `roi_align`, `fastrcnn_head`, `maskrcnn_head`;
+unverified — mount was empty). PReMVOS runs it category-agnostic with a low
+score threshold to keep ~20 high-recall proposals per frame (paper §3.1).
+
+TPU-first differences from the reference:
+  * every tensor is fixed-shape; proposal/detection counts are padded with
+    validity masks (the single most important design decision for XLA),
+  * RoIAlign is the MXU matmul formulation, computed on all four FPN levels
+    and one-hot-combined per RoI (static shapes beat dynamic routing on TPU),
+  * the whole forward is one jittable function of (params, image batch).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from premvos_tpu.config import ProposalConfig
+from premvos_tpu.models.fpn import FPN, FPN_STRIDES
+from premvos_tpu.models.heads import BoxHead, MaskHead
+from premvos_tpu.models.resnet import ResNet
+from premvos_tpu.models.rpn import RPNHead, generate_proposals
+from premvos_tpu.ops.boxes import box_area, clip_boxes, decode_boxes
+from premvos_tpu.ops.nms import nms
+from premvos_tpu.ops.roi_align import roi_align
+
+ALIGN_LEVELS = ("P2", "P3", "P4", "P5")
+
+
+def roi_levels(boxes: jnp.ndarray) -> jnp.ndarray:
+    """FPN level assignment: floor(4 + log2(sqrt(area)/224)), clipped to 2..5."""
+    scale = jnp.sqrt(jnp.maximum(box_area(boxes), 1e-6))
+    lvl = jnp.floor(4.0 + jnp.log2(scale / 224.0 + 1e-12))
+    return jnp.clip(lvl, 2, 5).astype(jnp.int32)
+
+
+def multilevel_roi_align(
+    feats: dict, boxes: jnp.ndarray, output_size: int, sampling_ratio: int = 2
+) -> jnp.ndarray:
+    """RoIAlign over P2..P5 for one image: compute on every level, select by
+    the FPN assignment (static shapes; 4× FLOPs but MXU-bound)."""
+    lvl = roi_levels(boxes)
+    out = None
+    for i, name in enumerate(ALIGN_LEVELS):
+        crop = roi_align(
+            feats[name],
+            boxes,
+            output_size,
+            sampling_ratio,
+            spatial_scale=1.0 / FPN_STRIDES[name],
+        )
+        w = (lvl == i + 2).astype(crop.dtype)[:, None, None, None]
+        out = crop * w if out is None else out + crop * w
+    return out
+
+
+class MaskRCNN(nn.Module):
+    cfg: ProposalConfig = ProposalConfig()
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(depth=self.cfg.backbone_depth, dtype=self.dtype)
+        self.fpn = FPN(channels=self.cfg.fpn_channels, dtype=self.dtype)
+        self.rpn = RPNHead(
+            num_anchors=len(self.cfg.anchor_ratios),
+            channels=self.cfg.fpn_channels,
+            dtype=self.dtype,
+        )
+        self.box_head = BoxHead(num_classes=self.cfg.num_classes, dtype=self.dtype)
+        self.mask_head = MaskHead(dtype=self.dtype)
+
+    def features(self, images: jnp.ndarray) -> dict:
+        """[B, H, W, 3] normalized images → {P2..P6} batched feature maps."""
+        return self.fpn(self.backbone(images))
+
+    def rpn_outputs(self, feats: dict):
+        logits, deltas = {}, {}
+        for lvl, f in feats.items():
+            logits[lvl], deltas[lvl] = self.rpn(f)
+        return logits, deltas
+
+    def proposals(self, feats: dict, anchors: dict, image_hw):
+        """Batched padded RPN proposals: [B, K, 4], [B, K], [B, K]."""
+        logits, deltas = self.rpn_outputs(feats)
+
+        def per_image(lg, dl):
+            return generate_proposals(
+                lg,
+                dl,
+                anchors,
+                image_hw,
+                pre_nms_topk=self.cfg.rpn_pre_nms_topk,
+                post_nms_topk=self.cfg.rpn_post_nms_topk,
+                nms_threshold=self.cfg.rpn_nms_threshold,
+            )
+
+        return jax.vmap(per_image)(logits, deltas)
+
+    def detect(self, feats: dict, rois, roi_valid, image_hw):
+        """Per-image second stage: box refinement + NMS → padded detections."""
+        h, w = image_hw
+        cfg = self.cfg
+
+        roi_feats = multilevel_roi_align(feats, rois, cfg.roi_align_size)
+        logits, deltas = self.box_head(roi_feats)
+        # Class-agnostic: P(object) from a 2-way softmax.
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        scores = probs[:, 1] * roi_valid.astype(jnp.float32)
+        boxes = clip_boxes(
+            decode_boxes(deltas.astype(jnp.float32), rois), float(h), float(w)
+        )
+
+        idx, keep = nms(
+            boxes,
+            scores,
+            max_outputs=cfg.detections_per_frame,
+            iou_threshold=cfg.detection_nms_threshold,
+            score_threshold=cfg.detection_score_threshold,
+            valid=roi_valid,
+        )
+        safe = jnp.maximum(idx, 0)
+        det_boxes = jnp.where(keep[:, None], boxes[safe], 0.0)
+        det_scores = jnp.where(keep, scores[safe], 0.0)
+        return det_boxes, det_scores, keep
+
+    def masks(self, feats: dict, det_boxes):
+        """Per-image mask branch → [D, 2P, 2P] mask logits in box frame."""
+        mf = multilevel_roi_align(feats, det_boxes, self.cfg.mask_roi_align_size)
+        return self.mask_head(mf)
+
+    def __call__(self, images: jnp.ndarray, anchors: dict):
+        """Full padded inference.
+
+        Args:
+          images: [B, H, W, 3], already mean/std normalized, H/W 32-multiples.
+          anchors: {level: [Ni, 4]} from `models.anchors.pyramid_anchors`.
+
+        Returns dict with per-image padded arrays:
+          boxes [B, D, 4], scores [B, D], valid [B, D],
+          mask_logits [B, D, 2P, 2P] (in-box frame; paste with ops.masks).
+        """
+        b, h, w, _ = images.shape
+        feats = self.features(images)
+        rois, _, roi_valid = self.proposals(feats, anchors, (h, w))
+
+        def per_image(f, r, rv):
+            det_boxes, det_scores, det_valid = self.detect(f, r, rv, (h, w))
+            mask_logits = self.masks(f, det_boxes)
+            return det_boxes, det_scores, det_valid, mask_logits
+
+        det_boxes, det_scores, det_valid, mask_logits = jax.vmap(per_image)(
+            feats, rois, roi_valid
+        )
+        return {
+            "boxes": det_boxes,
+            "scores": det_scores,
+            "valid": det_valid,
+            "mask_logits": mask_logits,
+        }

@@ -1,0 +1,91 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from premvos_tpu.config import ProposalConfig
+from premvos_tpu.models.anchors import pyramid_anchors
+from premvos_tpu.models.fpn import FPN_LEVELS
+from premvos_tpu.models.maskrcnn import MaskRCNN, multilevel_roi_align, roi_levels
+
+TINY = ProposalConfig(
+    backbone_depth=50,
+    fpn_channels=64,
+    rpn_pre_nms_topk=64,
+    rpn_post_nms_topk=16,
+    detections_per_frame=8,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = MaskRCNN(cfg=TINY)
+    anchors = {
+        k: jnp.array(v)
+        for k, v in pyramid_anchors(128, 128, TINY.anchor_scales, TINY.anchor_ratios).items()
+    }
+    img = jnp.zeros((1, 128, 128, 3))
+    params = model.init(jax.random.PRNGKey(0), img, anchors)
+    return model, params, anchors
+
+
+def test_anchor_shapes():
+    anchors = pyramid_anchors(128, 128, TINY.anchor_scales, TINY.anchor_ratios)
+    assert set(anchors) == set(FPN_LEVELS)
+    assert anchors["P2"].shape == (32 * 32 * 3, 4)
+    assert anchors["P6"].shape == (2 * 2 * 3, 4)
+    # anchor at P2 scale 32: first anchor centered at (2, 2)
+    a0 = anchors["P2"][1]  # ratio 1.0 is second
+    np.testing.assert_allclose(a0, [2 - 16, 2 - 16, 2 + 16, 2 + 16], atol=1e-4)
+
+
+def test_roi_levels():
+    boxes = jnp.array(
+        [
+            [0, 0, 32, 32],  # small → P2
+            [0, 0, 112, 112],  # → P3
+            [0, 0, 224, 224],  # canonical → P4
+            [0, 0, 448, 448],  # → P5
+            [0, 0, 2000, 2000],  # huge → clipped to P5
+        ],
+        jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(roi_levels(boxes)), [2, 3, 4, 5, 5])
+
+
+def test_multilevel_roi_align_selects_by_level(rng):
+    feats = {
+        "P2": jnp.array(rng.standard_normal((32, 32, 8)), jnp.float32),
+        "P3": jnp.zeros((16, 16, 8)),
+        "P4": jnp.zeros((8, 8, 8)),
+        "P5": jnp.zeros((4, 4, 8)),
+    }
+    small = jnp.array([[8.0, 8.0, 40.0, 40.0]])  # P2 box
+    big = jnp.array([[0.0, 0.0, 448.0, 448.0]])  # P5 box (zero features)
+    out_small = multilevel_roi_align(feats, small, 7)
+    out_big = multilevel_roi_align(feats, big, 7)
+    assert float(jnp.abs(out_small).sum()) > 0
+    assert float(jnp.abs(out_big).sum()) == 0
+
+
+def test_maskrcnn_forward_shapes(model_and_params):
+    model, params, anchors = model_and_params
+    img = jnp.array(np.random.default_rng(0).standard_normal((1, 128, 128, 3)), jnp.float32)
+    out = jax.jit(model.apply)(params, img, anchors)
+    d = TINY.detections_per_frame
+    assert out["boxes"].shape == (1, d, 4)
+    assert out["scores"].shape == (1, d)
+    assert out["valid"].shape == (1, d)
+    assert out["mask_logits"].shape == (1, d, 28, 28)
+    assert bool(jnp.isfinite(out["boxes"]).all())
+    assert bool(jnp.isfinite(out["mask_logits"]).all())
+    # padded rows are zeroed
+    inv = ~np.asarray(out["valid"][0])
+    assert np.asarray(out["scores"][0])[inv].sum() == 0
+
+
+def test_maskrcnn_batch(model_and_params):
+    model, params, anchors = model_and_params
+    img = jnp.array(np.random.default_rng(1).standard_normal((2, 128, 128, 3)), jnp.float32)
+    out = model.apply(params, img, anchors)
+    assert out["boxes"].shape[0] == 2

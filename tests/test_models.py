@@ -1,0 +1,60 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from premvos_tpu.config import RefineConfig, ReIDConfig
+from premvos_tpu.models import DeepLabV3Plus, FlowNet2, ReIDNet, ResNet
+
+
+def test_resnet_feature_strides(rng):
+    model = ResNet(depth=50)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(params, x)
+    assert feats["C2"].shape == (1, 16, 16, 256)
+    assert feats["C3"].shape == (1, 8, 8, 512)
+    assert feats["C4"].shape == (1, 4, 4, 1024)
+    assert feats["C5"].shape == (1, 2, 2, 2048)
+
+
+def test_resnet_dilated_os16():
+    model = ResNet(depth=50, output_stride=16)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(params, x)
+    assert feats["C5"].shape == (1, 4, 4, 2048)  # same stride as C4
+
+
+def test_deeplab_refine_shapes(rng):
+    cfg = RefineConfig(crop_size=65, backbone_depth=50)
+    model = DeepLabV3Plus(cfg=cfg)
+    crops = jnp.array(rng.standard_normal((3, 65, 65, 4)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), crops)
+    logits = model.apply(params, crops)
+    assert logits.shape == (3, 65, 65)
+    assert bool(jnp.isfinite(logits).all())
+
+
+@pytest.mark.parametrize("variant,", ["flownetc", "flownet2"])
+def test_flownet_variants(rng, variant):
+    model = FlowNet2(variant=variant, max_displacement=4, corr_stride=2)
+    img1 = jnp.array(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    img2 = jnp.array(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img1, img2)
+    flow = model.apply(params, img1, img2)
+    assert flow.shape == (1, 64, 64, 2)
+    assert flow.dtype == jnp.float32
+    assert bool(jnp.isfinite(flow).all())
+
+
+def test_reid_embeddings(rng):
+    cfg = ReIDConfig(backbone_depth=50, embedding_dim=16, crop_size=32)
+    model = ReIDNet(cfg=cfg)
+    crops = jnp.array(rng.standard_normal((5, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), crops)
+    emb = model.apply(params, crops)
+    assert emb.shape == (5, 16)
+    assert bool(jnp.isfinite(emb).all())
+    # different crops → different embeddings
+    assert float(jnp.abs(emb[0] - emb[1]).sum()) > 0
