@@ -1,0 +1,73 @@
+"""Headline benchmark: end-to-end fused-pipeline throughput, frames/sec/chip.
+
+Runs the full PReMVOS pipeline (ResNet-101-FPN Mask R-CNN proposals →
+DeepLabv3+ refinement of 64 padded proposals → FlowNet2 → ReID embeddings →
+merge/track) on synthetic DAVIS-480p-shaped frames, one fused jitted scan,
+and prints ONE JSON line.
+
+Baseline: the reference end-to-end rate is ~38 s/frame on a single GPU
+(≈ 0.0263 fps; BASELINE.md — includes amortized per-video fine-tuning, the
+closest published figure). vs_baseline = our_fps / 0.0263.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/premvos_jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_FPS = 1.0 / 38.0
+
+
+def main():
+    from premvos_tpu.config import PremvosConfig
+    from premvos_tpu.pipeline.runner import build_models, init_params, run_sequence
+
+    cfg = PremvosConfig()
+    models = build_models(cfg)
+    params = init_params(models, cfg, jax.random.PRNGKey(0))
+
+    p = cfg.pipeline
+    t = 9  # 8 tracked frames per measured run
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 255, (t, p.image_height, p.image_width, 3)), jnp.uint8
+    )
+    gt = np.zeros((p.max_objects, p.image_height, p.image_width), np.float32)
+    gt[0, 100:200, 150:300] = 1.0
+    gt[1, 250:350, 500:650] = 1.0
+    gt = jnp.asarray(gt)
+    n_obj = jnp.int32(2)
+
+    # Warmup/compile.
+    labels = run_sequence(models, params, cfg, frames, gt, n_obj)
+    jax.block_until_ready(labels)
+
+    # Measure.
+    runs = 3
+    start = time.perf_counter()
+    for _ in range(runs):
+        labels = run_sequence(models, params, cfg, frames, gt, n_obj)
+        jax.block_until_ready(labels)
+    elapsed = time.perf_counter() - start
+
+    tracked = (t - 1) * runs
+    fps = tracked / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "davis480p_e2e_pipeline_throughput",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / REFERENCE_FPS, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

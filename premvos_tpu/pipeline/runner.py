@@ -1,0 +1,196 @@
+"""The fused VOS pipeline: proposal → refine → flow → ReID → merge, one scan.
+
+The reference runs five processes that pass JSON/.flo/PNG files through the
+filesystem (SURVEY.md §1 L3/L5); every `║` in its call stacks (§3) is a
+serialize/deserialize boundary. Here the whole pipeline is ONE jitted
+`lax.scan` over frames: the carry is the tracking state (previous masks),
+per-frame proposals/refined masks/flow/embeddings live only inside the scan
+body, and all parameters stay resident in HBM. Per-sequence parallelism
+(DAVIS sequences are independent) is sharded across chips by
+`premvos_tpu.parallel.mesh`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from premvos_tpu.config import PremvosConfig
+from premvos_tpu.data.preprocess import normalize, to_unit
+from premvos_tpu.models.anchors import pyramid_anchors
+from premvos_tpu.models.deeplab import DeepLabV3Plus
+from premvos_tpu.models.flownet import FlowNet2
+from premvos_tpu.models.maskrcnn import MaskRCNN
+from premvos_tpu.models.reid import ReIDNet
+from premvos_tpu.stages.merge import TrackState, init_state, merge_frame
+from premvos_tpu.stages.refine import refined_fullres, run_refine
+from premvos_tpu.stages.reid import run_reid
+from premvos_tpu.stages.proposals import run_proposals  # noqa: F401 (re-export)
+
+
+class Models(NamedTuple):
+    maskrcnn: Any
+    refine: Any
+    flow: Any
+    reid: Any
+
+
+def build_models(cfg: PremvosConfig, dtype=None) -> Models:
+    dtype = dtype or jnp.dtype(cfg.pipeline.dtype)
+    return Models(
+        maskrcnn=MaskRCNN(cfg=cfg.proposal, dtype=dtype),
+        refine=DeepLabV3Plus(cfg=cfg.refine, dtype=dtype),
+        flow=FlowNet2(
+            variant=cfg.flow.variant,
+            max_displacement=cfg.flow.max_displacement,
+            corr_stride=cfg.flow.corr_stride,
+            div_flow=cfg.flow.div_flow,
+            dtype=dtype,
+        ),
+        reid=ReIDNet(cfg=cfg.reid, dtype=dtype),
+    )
+
+
+def init_params(models: Models, cfg: PremvosConfig, rng) -> dict:
+    """Random-init parameter bundle (pretrained weights load via
+    utils.checkpoint / io_compat converters when available)."""
+    p = cfg.pipeline
+    h, w = p.image_height, p.image_width
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    anchors = get_anchors(cfg)
+    img = jnp.zeros((1, h, w, 3), jnp.float32)
+    crops = jnp.zeros((1, cfg.refine.crop_size, cfg.refine.crop_size, 4))
+    pair = jnp.zeros((1, cfg.flow.infer_height, cfg.flow.infer_width, 3))
+    reid_crops = jnp.zeros((1, cfg.reid.crop_size, cfg.reid.crop_size, 3))
+    return {
+        "maskrcnn": models.maskrcnn.init(k1, img, anchors),
+        "refine": models.refine.init(k2, crops),
+        "flow": models.flow.init(k3, pair, pair),
+        "reid": models.reid.init(k4, reid_crops),
+    }
+
+
+def get_anchors(cfg: PremvosConfig) -> dict:
+    p = cfg.pipeline
+    return {
+        k: jnp.asarray(v)
+        for k, v in pyramid_anchors(
+            p.image_height,
+            p.image_width,
+            cfg.proposal.anchor_scales,
+            cfg.proposal.anchor_ratios,
+        ).items()
+    }
+
+
+def boxes_from_masks(masks: jnp.ndarray) -> jnp.ndarray:
+    """[K, H, W] masks → [K, 4] tight xyxy boxes (degenerate for empty)."""
+    k, h, w = masks.shape
+    on = masks > 0.5
+    cols = jnp.any(on, axis=1)  # [K, W]
+    rows = jnp.any(on, axis=2)  # [K, H]
+    xi = jnp.arange(w)
+    yi = jnp.arange(h)
+    big = jnp.int32(1 << 20)
+    x1 = jnp.min(jnp.where(cols, xi, big), axis=1)
+    x2 = jnp.max(jnp.where(cols, xi, -1), axis=1) + 1
+    y1 = jnp.min(jnp.where(rows, yi, big), axis=1)
+    y2 = jnp.max(jnp.where(rows, yi, -1), axis=1) + 1
+    empty = ~jnp.any(cols, axis=1)
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1).astype(jnp.float32)
+    return jnp.where(empty[:, None], 0.0, boxes)
+
+
+def frame_step(models, params, anchors, cfg, state, frame, prev_frame):
+    """All five stages for one frame; pure function for lax.scan.
+
+    frame/prev_frame: [H, W, 3] float32 in [0, 1].
+    """
+    p = cfg.pipeline
+    h, w = p.image_height, p.image_width
+
+    # Stage 1 — proposals (batch of one frame).
+    img_n = normalize(frame)[None]
+    det = models.maskrcnn.apply(params["maskrcnn"], img_n, anchors)
+    boxes = det["boxes"][0]
+    scores = det["scores"][0]
+    valid = det["valid"][0]
+    mask_logits = det["mask_logits"][0]
+
+    # Stage 2 — refinement on 385² crops.
+    ref_logits, crop_boxes = run_refine(
+        models.refine, params["refine"], img_n[0], boxes, mask_logits, valid,
+        cfg.refine,
+    )
+    prop_masks = refined_fullres(ref_logits, crop_boxes, valid, h, w)
+
+    # Stage 3 — backward flow (current → previous) at the flow net's grid.
+    fh, fw = cfg.flow.infer_height, cfg.flow.infer_width
+    cur = jax.image.resize(frame[None], (1, fh, fw, 3), "bilinear")
+    prev = jax.image.resize(prev_frame[None], (1, fh, fw, 3), "bilinear")
+    flow = models.flow.apply(params["flow"], cur, prev)[0]
+    flow = jax.image.resize(flow, (h, w, 2), "bilinear")
+    flow = flow * jnp.array([w / fw, h / fh], flow.dtype)
+
+    # Stage 4 — ReID embeddings of proposal crops.
+    emb = run_reid(
+        models.reid, params["reid"], img_n[0], boxes, valid,
+        cfg.reid.crop_size,
+    )
+
+    # Stage 5 — merge & track.
+    new_state, labels, info = merge_frame(
+        state, prop_masks, scores, emb, valid, flow, cfg.merge
+    )
+    return new_state, labels, info
+
+
+@partial(jax.jit, static_argnames=("models", "cfg"))
+def run_sequence(
+    models: Models,
+    params: dict,
+    cfg: PremvosConfig,
+    frames: jnp.ndarray,
+    gt_masks: jnp.ndarray,
+    num_objects,
+):
+    """Track a whole sequence in one jitted program.
+
+    Args:
+      frames: [T, H, W, 3] raw RGB (uint8 or [0,1]); H, W = pipeline canvas.
+      gt_masks: [K, H, W] first-frame GT masks (padded to max_objects).
+      num_objects: scalar — number of real objects.
+
+    Returns labels [T, H, W] int32 (frame 0 = GT argmax).
+    """
+    anchors = get_anchors(cfg)
+    frames = to_unit(frames)
+
+    # First-frame reference embeddings from GT crops.
+    gt_boxes = boxes_from_masks(gt_masks)
+    img0 = normalize(frames[0])
+    k = gt_masks.shape[0]
+    gt_valid = jnp.arange(k) < num_objects
+    gt_emb = run_reid(
+        models.reid, params["reid"], img0, gt_boxes, gt_valid,
+        cfg.reid.crop_size,
+    )
+    state = init_state(gt_masks, gt_emb, num_objects)
+
+    def body(st, xs):
+        frame, prev = xs
+        st, labels, _ = frame_step(models, params, anchors, cfg, st, frame, prev)
+        return st, labels
+
+    _, labels = jax.lax.scan(body, state, (frames[1:], frames[:-1]))
+
+    # Frame 0 label map straight from GT.
+    ids = jnp.arange(1, k + 1, dtype=jnp.int32)[:, None, None]
+    gt0 = jnp.where(
+        gt_masks > 0.5, ids * gt_valid[:, None, None].astype(jnp.int32), 0
+    )
+    lab0 = jnp.max(gt0, axis=0)
+    return jnp.concatenate([lab0[None], labels], axis=0)

@@ -1,0 +1,47 @@
+"""Stage 3: optical flow + mask warping (SURVEY.md C3, call stack §3.4).
+
+Reference flow: per-pair CUDA forward → write `.flo` → merge reads and warps
+masks in numpy. Here: one batched jitted forward over all consecutive pairs,
+flow stays in HBM, and warping is `ops.resample2d`.
+
+Direction convention: the merge stage *backward-warps* the previous frame's
+masks into the current frame, so we compute flow(frame_t → frame_{t−1}) —
+sampling prev_mask at (x + u, y + v) pulls each current-frame pixel's value
+from where it was in the previous frame.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from premvos_tpu.ops.resample2d import resample2d
+
+
+def run_flow_pairs(model, params, frames, infer_hw=None):
+    """frames: [T, H, W, 3] in [0, 1]. Returns backward flow [T−1, H, W, 2]
+    where entry t is flow(frame_{t+1} → frame_t).
+
+    If infer_hw is given, frames are bilinearly resized for the net (H, W
+    must be 64-multiples) and the flow is resized/rescaled back.
+    """
+    t, h, w, _ = frames.shape
+    cur = frames[1:]
+    prev = frames[:-1]
+
+    if infer_hw is not None and infer_hw != (h, w):
+        ih, iw = infer_hw
+        cur_r = jax.image.resize(cur, (t - 1, ih, iw, 3), "bilinear")
+        prev_r = jax.image.resize(prev, (t - 1, ih, iw, 3), "bilinear")
+        flow = model.apply(params, cur_r, prev_r)
+        flow = jax.image.resize(flow, (t - 1, h, w, 2), "bilinear")
+        flow = flow * jnp.array([w / iw, h / ih], flow.dtype)
+    else:
+        flow = model.apply(params, cur, prev)
+    return flow
+
+
+def warp_masks(masks: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward-warp [K, H, W] masks by one [H, W, 2] flow field."""
+    warped = jax.vmap(lambda m: resample2d(m[..., None], flow)[..., 0])(masks)
+    return warped

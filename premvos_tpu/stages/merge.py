@@ -1,0 +1,177 @@
+"""Stage 5: merging & tracking (SURVEY.md C5, call stack §3.5).
+
+Reference flow: a pure Python/numpy/pycocotools loop per frame per object —
+warp previous masks by flow, score every proposal per object
+(objectness + ReID similarity + warped-mask IoU − inter-object overlap),
+greedy-select one proposal per object, resolve pixel conflicts by score,
+write an indexed PNG. Supports objects disappearing and re-appearing (the
+ReID term re-acquires them).
+
+TPU-native design: everything is a fixed-shape reduction —
+  * warping: batched `resample2d` gather,
+  * the score matrix [K objects × N proposals]: one soft-IoU matmul, one
+    embedding-distance matmul, broadcasts,
+  * greedy assignment: a K-step `lax.scan` over masked argmaxes (K ≤ 8),
+  * pixel conflict resolution: per-pixel masked argmax,
+so a whole frame's merge is one fused XLA program with no host round-trips,
+and the frame loop is a `lax.scan` carry (prev masks), per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from premvos_tpu.config import MergeConfig
+from premvos_tpu.ops.masks import soft_mask_iou
+from premvos_tpu.stages.flow import warp_masks
+from premvos_tpu.stages.reid import reid_similarity
+
+NEG = -1e9
+
+
+class TrackState(NamedTuple):
+    """Carry of the per-sequence tracking scan."""
+
+    prev_masks: jnp.ndarray  # [K, H, W] soft masks in the current frame
+    ref_emb: jnp.ndarray  # [K, E] first-frame GT embeddings (fixed)
+    active: jnp.ndarray  # [K] bool — object exists in this sequence
+
+
+def init_state(gt_masks, gt_emb, num_objects) -> TrackState:
+    """First-frame GT masks [K, H, W] + embeddings [K, E] → initial state.
+
+    num_objects: [  ] or scalar int — how many of the K padded slots are real.
+    """
+    k = gt_masks.shape[0]
+    active = jnp.arange(k) < num_objects
+    return TrackState(
+        prev_masks=gt_masks.astype(jnp.float32),
+        ref_emb=gt_emb.astype(jnp.float32),
+        active=active,
+    )
+
+
+def score_matrix(
+    state: TrackState,
+    warped: jnp.ndarray,
+    prop_masks: jnp.ndarray,
+    prop_scores: jnp.ndarray,
+    prop_emb: jnp.ndarray,
+    prop_valid: jnp.ndarray,
+    cfg: MergeConfig,
+) -> jnp.ndarray:
+    """[K, N] merge scores; invalid entries at NEG."""
+    warp_iou = soft_mask_iou(warped, prop_masks)  # [K, N]
+    sim = reid_similarity(state.ref_emb, prop_emb, cfg.reid_sigma)  # [K, N]
+
+    # Penalty: proposal overlap with *other* objects' warped masks.
+    k = warped.shape[0]
+    others = jnp.where(
+        jnp.eye(k, dtype=bool)[:, :, None, None], 0.0, warped[None]
+    )  # [K, K, H, W]: row k = all warped masks except k's
+    other_union = jnp.clip(others.sum(axis=1), 0.0, 1.0)  # [K, H, W]
+    overlap = soft_mask_iou(other_union, prop_masks)  # [K, N]
+
+    s = (
+        cfg.w_objectness * prop_scores[None, :]
+        + cfg.w_reid * sim
+        + cfg.w_warp * warp_iou
+        - cfg.w_overlap * overlap
+    )
+    ok = jnp.logical_and(state.active[:, None], prop_valid[None, :])
+    return jnp.where(ok, s, NEG)
+
+
+def greedy_assign(scores: jnp.ndarray):
+    """Greedy bipartite assignment on a [K, N] score matrix.
+
+    Repeatedly takes the global best (object, proposal) pair and removes
+    both. Returns (assign [K] int32 — proposal index or −1,
+    assign_score [K] float32 — NEG where unassigned).
+    """
+    k, n = scores.shape
+
+    def body(carry, _):
+        s, assign, a_score = carry
+        flat = jnp.argmax(s)
+        ki, ni = flat // n, flat % n
+        val = s[ki, ni]
+        do = val > NEG / 2
+        assign = jnp.where(
+            do, assign.at[ki].set(ni.astype(jnp.int32)), assign
+        )
+        a_score = jnp.where(do, a_score.at[ki].set(val), a_score)
+        s = jnp.where(do, s.at[ki, :].set(NEG).at[:, ni].set(NEG), s)
+        return (s, assign, a_score), None
+
+    init = (
+        scores,
+        jnp.full((k,), -1, jnp.int32),
+        jnp.full((k,), NEG, jnp.float32),
+    )
+    (_, assign, a_score), _ = jax.lax.scan(body, init, None, length=k)
+    return assign, a_score
+
+
+def resolve_pixels(
+    sel_masks: jnp.ndarray,
+    sel_scores: jnp.ndarray,
+    present: jnp.ndarray,
+    threshold: float = 0.5,
+) -> jnp.ndarray:
+    """[K, H, W] selected soft masks → [H, W] int32 labels (0 = background).
+
+    A pixel goes to the highest-scoring present object whose mask covers it.
+    """
+    cover = jnp.logical_and(sel_masks > threshold, present[:, None, None])
+    pix = jnp.where(cover, sel_scores[:, None, None], NEG)
+    best = jnp.argmax(pix, axis=0)
+    any_cover = jnp.any(cover, axis=0)
+    return jnp.where(any_cover, best + 1, 0).astype(jnp.int32)
+
+
+def merge_frame(
+    state: TrackState,
+    prop_masks: jnp.ndarray,
+    prop_scores: jnp.ndarray,
+    prop_emb: jnp.ndarray,
+    prop_valid: jnp.ndarray,
+    flow_back: jnp.ndarray,
+    cfg: MergeConfig = MergeConfig(),
+):
+    """One tracking step.
+
+    Args:
+      state: previous TrackState.
+      prop_masks: [N, H, W] refined soft masks for this frame.
+      prop_scores / prop_emb / prop_valid: [N] / [N, E] / [N].
+      flow_back: [H, W, 2] flow (current → previous frame) for backward warp.
+
+    Returns (new_state, labels [H, W] int32, info dict).
+    """
+    warped = warp_masks(state.prev_masks, flow_back)  # [K, H, W]
+    s = score_matrix(
+        state, warped, prop_masks, prop_scores, prop_emb, prop_valid, cfg
+    )
+    assign, a_score = greedy_assign(s)
+
+    picked = jnp.maximum(assign, 0)
+    sel = prop_masks[picked]  # [K, H, W]
+    present = jnp.logical_and(
+        assign >= 0, a_score > cfg.new_object_score_floor
+    )
+    present = jnp.logical_and(present, state.active)
+    sel = sel * present[:, None, None].astype(sel.dtype)
+
+    labels = resolve_pixels(sel, a_score, present, cfg.mask_threshold)
+
+    # Next-frame prior: the selected mask when present, else the warped
+    # hypothesis (lets tracking coast through brief disappearance; ReID
+    # re-acquires on re-appearance).
+    new_prev = jnp.where(present[:, None, None], sel, warped)
+    new_state = TrackState(new_prev, state.ref_emb, state.active)
+    info = {"assign": assign, "score": a_score, "present": present}
+    return new_state, labels, info

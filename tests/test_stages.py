@@ -1,0 +1,198 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from premvos_tpu.config import MergeConfig
+from premvos_tpu.stages.flow import warp_masks
+from premvos_tpu.stages.merge import (
+    TrackState,
+    greedy_assign,
+    init_state,
+    merge_frame,
+    resolve_pixels,
+)
+from premvos_tpu.stages.refine import expand_boxes, make_refine_crops, refined_fullres
+from premvos_tpu.stages.reid import pairwise_sq_distances, reid_similarity
+
+
+# ------------------------------------------------------------------ refine
+def test_expand_boxes_clips():
+    b = jnp.array([[10.0, 10.0, 20.0, 20.0]])
+    e = expand_boxes(b, 50.0, 64, 64)
+    np.testing.assert_allclose(np.asarray(e), [[0, 0, 64, 64]])
+
+
+def test_refine_crop_rgb_geometry():
+    # Linear ramp image; crop of a box must reproduce the ramp over the box.
+    h, w = 64, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([xx, yy, xx * 0], -1)
+    boxes = jnp.array([[20.0, 24.0, 40.0, 44.0]])
+    logits = jnp.full((1, 4, 4), 10.0)  # solid coarse mask
+    crops, crop_boxes = make_refine_crops(
+        jnp.array(img), boxes, logits, crop_size=33, margin=4.0
+    )
+    assert crops.shape == (1, 33, 33, 4)
+    c = np.asarray(crops[0])
+    # x-channel first/last columns ≈ crop box x range (16..44)
+    np.testing.assert_allclose(c[0, 0, 0], 16.0, atol=0.5)
+    np.testing.assert_allclose(c[0, -1, 0], 44.0, atol=0.5)
+    np.testing.assert_allclose(c[0, 0, 1], 20.0, atol=0.5)  # y start
+    # mask channel: interior of the proposal box is ~1, far corners ~0
+    assert c[16, 16, 3] > 0.9
+    assert c[0, 0, 3] < 0.1
+
+
+def test_refined_fullres_pastes_into_box():
+    logits = jnp.full((1, 17, 17), 8.0)
+    crop_boxes = jnp.array([[8.0, 4.0, 24.0, 20.0]])
+    out = refined_fullres(logits, crop_boxes, jnp.array([True]), 32, 32)
+    o = np.asarray(out[0])
+    assert o[12, 16] > 0.9  # inside box
+    assert o[0, 0] < 1e-3  # outside
+    # invalid row zeroes out
+    out2 = refined_fullres(logits, crop_boxes, jnp.array([False]), 32, 32)
+    assert float(jnp.abs(out2).sum()) == 0.0
+
+
+# ------------------------------------------------------------------ reid
+def test_pairwise_sq_distances(rng):
+    a = rng.standard_normal((4, 8)).astype(np.float32)
+    b = rng.standard_normal((6, 8)).astype(np.float32)
+    got = np.asarray(pairwise_sq_distances(jnp.array(a), jnp.array(b)))
+    want = ((a[:, None] - b[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_reid_similarity_identity(rng):
+    e = rng.standard_normal((3, 16)).astype(np.float32)
+    sim = np.asarray(reid_similarity(jnp.array(e), jnp.array(e)))
+    np.testing.assert_allclose(np.diag(sim), 1.0, atol=1e-5)
+    assert (sim <= 1.0 + 1e-6).all()
+
+
+# ------------------------------------------------------------------ flow warp
+def test_warp_masks_direction():
+    # Object at columns 2-3 in prev frame moved right by 2 → flow_back u=-2.
+    prev = np.zeros((1, 8, 8), np.float32)
+    prev[0, :, 2:4] = 1.0
+    flow = np.zeros((8, 8, 2), np.float32)
+    flow[..., 0] = -2.0
+    warped = np.asarray(warp_masks(jnp.array(prev), jnp.array(flow)))
+    np.testing.assert_allclose(warped[0, :, 4:6], 1.0)
+    np.testing.assert_allclose(warped[0, :, 0:2], 0.0, atol=1e-6)
+
+
+# ------------------------------------------------------------------ merge
+def test_greedy_assign_simple():
+    s = jnp.array([[5.0, 1.0, 0.0], [4.0, 3.0, 0.0]])
+    assign, score = greedy_assign(s)
+    np.testing.assert_array_equal(np.asarray(assign), [0, 1])
+    np.testing.assert_allclose(np.asarray(score), [5.0, 3.0])
+
+
+def test_greedy_assign_conflict():
+    # Both objects prefer proposal 0; higher score wins, other takes next.
+    s = jnp.array([[5.0, 2.0], [6.0, 1.0]])
+    assign, _ = greedy_assign(s)
+    np.testing.assert_array_equal(np.asarray(assign), [1, 0])
+
+
+def test_greedy_assign_all_invalid():
+    s = jnp.full((2, 3), -1e9)
+    assign, score = greedy_assign(s)
+    np.testing.assert_array_equal(np.asarray(assign), [-1, -1])
+
+
+def test_resolve_pixels_priority():
+    m = np.zeros((2, 4, 4), np.float32)
+    m[0, :2] = 1.0  # object 1 covers top half
+    m[1, 1:3] = 1.0  # object 2 covers middle, overlaps row 1
+    labels = np.asarray(
+        resolve_pixels(
+            jnp.array(m), jnp.array([1.0, 2.0]), jnp.array([True, True])
+        )
+    )
+    assert (labels[0] == 1).all()
+    assert (labels[1] == 2).all()  # overlap row → higher score (obj 2)
+    assert (labels[2] == 2).all()
+    assert (labels[3] == 0).all()
+
+
+def synthetic_frame(h=16, w=16):
+    """Two GT objects and three proposals (two matching, one junk)."""
+    gt = np.zeros((2, h, w), np.float32)
+    gt[0, 2:6, 2:6] = 1.0
+    gt[1, 10:14, 10:14] = 1.0
+    props = np.zeros((4, h, w), np.float32)
+    props[0, 2:6, 3:7] = 1.0  # object 0 moved right by 1
+    props[1, 10:14, 11:15] = 1.0  # object 1 moved right by 1
+    props[2, 0:3, 12:16] = 1.0  # junk
+    # props[3] invalid padding
+    emb = np.zeros((4, 8), np.float32)
+    emb[0, 0] = 1.0
+    emb[1, 1] = 1.0
+    emb[2, 2] = 1.0
+    gt_emb = np.eye(2, 8, dtype=np.float32)
+    flow = np.zeros((h, w, 2), np.float32)
+    flow[..., 0] = -1.0  # everything moved right by 1
+    return gt, gt_emb, props, emb, flow
+
+
+def test_merge_frame_tracks_objects():
+    gt, gt_emb, props, emb, flow = synthetic_frame()
+    state = init_state(jnp.array(gt), jnp.array(gt_emb), 2)
+    scores = jnp.array([0.9, 0.8, 0.95, 0.0])
+    valid = jnp.array([True, True, True, False])
+    new_state, labels, info = merge_frame(
+        state, jnp.array(props), scores, jnp.array(emb), valid, jnp.array(flow)
+    )
+    np.testing.assert_array_equal(np.asarray(info["assign"]), [0, 1])
+    lab = np.asarray(labels)
+    assert (lab[2:6, 3:7] == 1).all()
+    assert (lab[10:14, 11:15] == 2).all()
+    assert (lab[7:9] == 0).all()
+    # state advances to the selected masks
+    np.testing.assert_allclose(np.asarray(new_state.prev_masks[0]), props[0])
+
+
+def test_merge_frame_disappearance_coasts():
+    gt, gt_emb, _, _, flow = synthetic_frame()
+    state = init_state(jnp.array(gt), jnp.array(gt_emb), 2)
+    props = jnp.zeros((4, 16, 16))
+    valid = jnp.zeros((4,), bool)  # no proposals at all this frame
+    new_state, labels, info = merge_frame(
+        state, props, jnp.zeros(4), jnp.zeros((4, 8)), valid, jnp.array(flow)
+    )
+    assert not bool(np.asarray(info["present"]).any())
+    assert (np.asarray(labels) == 0).all()
+    # prev mask coasts on the warped hypothesis (shifted right by 1)
+    pm = np.asarray(new_state.prev_masks[0])
+    assert pm[3, 4] > 0.9 and pm[3, 1] < 0.1
+
+
+def test_merge_frame_inactive_objects_never_label():
+    gt, gt_emb, props, emb, flow = synthetic_frame()
+    state = init_state(jnp.array(gt), jnp.array(gt_emb), 1)  # only obj 0 real
+    scores = jnp.array([0.9, 0.8, 0.95, 0.0])
+    valid = jnp.array([True, True, True, False])
+    _, labels, info = merge_frame(
+        state, jnp.array(props), scores, jnp.array(emb), valid, jnp.array(flow)
+    )
+    assert (np.asarray(labels) != 2).all()
+
+
+def test_merge_frame_is_jittable():
+    gt, gt_emb, props, emb, flow = synthetic_frame()
+    state = init_state(jnp.array(gt), jnp.array(gt_emb), 2)
+    f = jax.jit(lambda st, p, s, e, v, fl: merge_frame(st, p, s, e, v, fl))
+    new_state, labels, info = f(
+        state,
+        jnp.array(props),
+        jnp.array([0.9, 0.8, 0.95, 0.0]),
+        jnp.array(emb),
+        jnp.array([True, True, True, False]),
+        jnp.array(flow),
+    )
+    assert labels.shape == (16, 16)
