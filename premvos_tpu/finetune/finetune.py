@@ -1,0 +1,153 @@
+"""Per-video fine-tuning on lucid-dream augmentations (SURVEY.md §3.2).
+
+Reference: before inference on each video, PReMVOS fine-tunes the proposal
+and refinement nets on ~2,500 lucid-dream augmentations of the annotated
+first frame — the dominant wall-clock cost of the reference (~38 s/frame
+amortized). TPU design:
+
+  * augmentation is CPU-side (data/lucid.py) and streams batches to device;
+  * the fine-tune step is the generic DP train step (train/trainer.py):
+    independent videos shard across chips, or one video's batch shards
+    data-parallel over the mesh;
+  * the refinement net fine-tunes on (crop, coarse-mask-channel) → GT-mask
+    examples synthesized from the augmentations exactly like the reference's
+    proposal-conditioned inputs: the coarse channel is a randomly perturbed
+    (dilated/eroded/shifted) version of the GT mask, teaching the net to
+    snap imprecise proposals onto true boundaries.
+"""
+
+from __future__ import annotations
+
+import cv2
+import numpy as np
+import optax
+
+from premvos_tpu.config import FinetuneConfig, RefineConfig
+from premvos_tpu.data.lucid import lucid_batch
+from premvos_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+from premvos_tpu.train.trainer import (
+    create_train_state,
+    make_dp_train_step,
+    replicate_state,
+    shard_train_batch,
+)
+
+
+def perturb_mask(mask: np.ndarray, rng) -> np.ndarray:
+    """Simulate a coarse proposal mask from a GT mask (random morphological
+    perturbation + shift)."""
+    m = mask.astype(np.uint8)
+    k = int(rng.integers(1, 6))
+    kernel = np.ones((k, k), np.uint8)
+    if rng.uniform() < 0.5:
+        m = cv2.dilate(m, kernel)
+    else:
+        m = cv2.erode(m, kernel)
+    dx, dy = rng.integers(-4, 5, size=2)
+    m = np.roll(np.roll(m, dy, 0), dx, 1)
+    return m.astype(np.float32)
+
+
+def make_refine_examples(
+    images: np.ndarray,
+    labels: np.ndarray,
+    crop_size: int,
+    margin: float,
+    rng,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Augmented frames → (crops [M, S, S, 4], targets [M, S, S]).
+
+    One example per (sample, object): RGB crop around the margin-expanded,
+    jittered object box + a perturbed-coarse-mask channel; target is the true
+    mask in the crop frame.
+    """
+    crops, targets = [], []
+    s = crop_size
+    for img, lab in zip(images, labels):
+        h, w = lab.shape
+        for obj in [int(i) for i in np.unique(lab) if i > 0]:
+            m = (lab == obj).astype(np.float32)
+            ys, xs = np.nonzero(m)
+            if len(ys) < 4:
+                continue
+            jx, jy = rng.integers(-8, 9, size=2)
+            x1 = max(0, xs.min() - margin + jx)
+            y1 = max(0, ys.min() - margin + jy)
+            x2 = min(w, xs.max() + margin + jx)
+            y2 = min(h, ys.max() + margin + jy)
+            if x2 - x1 < 8 or y2 - y1 < 8:
+                continue
+            rgb = img[int(y1) : int(y2), int(x1) : int(x2)]
+            rgb = cv2.resize(rgb, (s, s)).astype(np.float32) / 255.0
+            rgb = (rgb - IMAGENET_MEAN) / IMAGENET_STD
+            coarse = perturb_mask(m, rng)[int(y1) : int(y2), int(x1) : int(x2)]
+            coarse = cv2.resize(coarse, (s, s), interpolation=cv2.INTER_LINEAR)
+            tgt = cv2.resize(
+                m[int(y1) : int(y2), int(x1) : int(x2)], (s, s),
+                interpolation=cv2.INTER_LINEAR,
+            )
+            crops.append(
+                np.concatenate([rgb, coarse[..., None]], -1).astype(np.float32)
+            )
+            targets.append((tgt > 0.5).astype(np.float32))
+    if not crops:
+        return (
+            np.zeros((0, s, s, 4), np.float32),
+            np.zeros((0, s, s), np.float32),
+        )
+    return np.stack(crops), np.stack(targets)
+
+
+def finetune_refine(
+    model,
+    params,
+    first_frame: np.ndarray,
+    first_labels: np.ndarray,
+    mesh,
+    refine_cfg: RefineConfig = RefineConfig(),
+    ft_cfg: FinetuneConfig = FinetuneConfig(),
+    seed: int = 0,
+    log_every: int = 0,
+):
+    """Fine-tune the refinement net on one video's first frame.
+
+    Returns (new_params, final_loss). Batches shard data-parallel over the
+    mesh; augmentation streams on the host.
+    """
+    import jax.numpy as jnp
+
+    from premvos_tpu.train.losses import sigmoid_xent
+
+    rng = np.random.default_rng(seed)
+    n_dev = mesh.devices.size
+    bs = max(ft_cfg.batch_size, n_dev)
+    bs -= bs % n_dev  # divisible by mesh
+
+    def loss_fn(p, batch):
+        x, y = batch
+        logits = model.apply(p, x)
+        return sigmoid_xent(logits, y)
+
+    tx = optax.adam(ft_cfg.learning_rate)
+    state = replicate_state(create_train_state(params, tx), mesh)
+    step = make_dp_train_step(loss_fn, tx, mesh)
+
+    # Pre-generate an augmentation pool, then sample batches from it.
+    pool_n = min(ft_cfg.num_augmentations, max(ft_cfg.steps, 64))
+    imgs, labs = lucid_batch(first_frame, first_labels, rng, pool_n)
+    crops, tgts = make_refine_examples(
+        imgs, labs, refine_cfg.crop_size, refine_cfg.box_margin, rng
+    )
+    if len(crops) == 0:
+        return params, float("nan")
+
+    loss = float("nan")
+    for it in range(ft_cfg.steps):
+        idx = rng.integers(0, len(crops), size=bs)
+        batch = shard_train_batch(
+            (jnp.asarray(crops[idx]), jnp.asarray(tgts[idx])), mesh
+        )
+        state, loss = step(state, batch)
+        if log_every and (it + 1) % log_every == 0:
+            print(f"[finetune] step {it + 1}/{ft_cfg.steps} loss={float(loss):.4f}")
+    return state.params, float(loss)

@@ -1,0 +1,120 @@
+"""CLI: run the fused pipeline over a DAVIS dataset (SURVEY.md L5).
+
+Reference orchestration is shell scripts chaining five processes through the
+filesystem; here one command tracks every sequence, optionally per-video
+fine-tunes the refinement net first, dumps DAVIS-palette PNGs and reports
+in-repo J&F + throughput.
+
+  python -m premvos_tpu.pipeline.run_davis --davis_root /data/DAVIS \
+      --output /tmp/results [--sequences dog cows] [--finetune] \
+      [--checkpoint /path/to/params] [--max_frames N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from premvos_tpu.config import PremvosConfig
+from premvos_tpu.data.davis import DavisDataset, crop_result, save_results
+from premvos_tpu.eval.davis_eval import evaluate_dataset, evaluate_sequence
+from premvos_tpu.parallel.mesh import make_mesh
+from premvos_tpu.pipeline.runner import build_models, init_params, run_sequence
+from premvos_tpu.utils.logging import get_logger
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--davis_root", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--sequences", nargs="*", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--finetune", action="store_true")
+    ap.add_argument("--max_frames", type=int, default=None)
+    ap.add_argument("--config", default=None, help="JSON config preset")
+    args = ap.parse_args(argv)
+
+    log = get_logger()
+    if args.config:
+        from premvos_tpu.config import load_config
+
+        cfg = load_config(args.config)
+    else:
+        cfg = PremvosConfig()
+    p = cfg.pipeline
+    models = build_models(cfg)
+    params = init_params(models, cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        from premvos_tpu.utils.checkpoint import load_params
+
+        params = load_params(args.checkpoint, like=params)
+        log.info("loaded checkpoint %s", args.checkpoint)
+
+    ds = DavisDataset(args.davis_root, split=args.split)
+    seqs = args.sequences or ds.sequences
+    mesh = make_mesh()
+
+    results, total_frames, total_time = [], 0, 0.0
+    for name in seqs:
+        seq = ds.load_sequence(
+            name, p.image_height, p.image_width, p.max_objects, args.max_frames
+        )
+        seq_params = params
+        if args.finetune:
+            from premvos_tpu.finetune.finetune import finetune_refine
+
+            first_lab = (
+                seq["gt_labels"][0]
+                if len(seq["gt_labels"])
+                else np.zeros(seq["frames"].shape[1:3], np.int32)
+            )
+            t0 = time.perf_counter()
+            new_refine, loss = finetune_refine(
+                models.refine, params["refine"], seq["frames"][0], first_lab,
+                mesh, cfg.refine, cfg.finetune,
+            )
+            seq_params = dict(params, refine=new_refine)
+            log.info(
+                "finetuned %s in %.1fs (loss %.4f)",
+                name, time.perf_counter() - t0, loss,
+            )
+
+        t0 = time.perf_counter()
+        labels = run_sequence(
+            models, seq_params, cfg,
+            jnp.asarray(seq["frames"]), jnp.asarray(seq["gt_masks"]),
+            jnp.int32(seq["num_objects"]),
+        )
+        labels = np.asarray(jax.block_until_ready(labels))
+        dt = time.perf_counter() - t0
+        total_frames += labels.shape[0] - 1
+        total_time += dt
+        log.info("%s: %d frames in %.2fs (%.2f fps)",
+                 name, labels.shape[0], dt, (labels.shape[0] - 1) / dt)
+
+        out = crop_result(labels, seq["orig_hw"])
+        frame_names = [f.stem + ".png" for f in ds.frame_paths(name)]
+        save_results(args.output, name, out, frame_names[: len(out)])
+
+        if len(seq["gt_labels"]) == len(labels):
+            r = evaluate_sequence(labels, seq["gt_labels"], seq["num_objects"])
+            r["name"] = name
+            results.append(r)
+            log.info("%s: J=%.3f F=%.3f", name, r["J"], r["F"])
+
+    summary = {"frames": total_frames, "seconds": total_time,
+               "fps": total_frames / max(total_time, 1e-9)}
+    if results:
+        summary.update(evaluate_dataset(results))
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()
