@@ -33,25 +33,33 @@ def main():
 
     p = cfg.pipeline
     t = 9  # 8 tracked frames per measured run
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.integers(0, 255, (t, p.image_height, p.image_width, 3)), jnp.uint8
-    )
+
+    def make_frames(seed):
+        # Fresh data every run: reusing identical device buffers was observed
+        # to short-circuit execution on this platform and report impossible
+        # (>peak-FLOPs) rates.
+        r = np.random.default_rng(seed)
+        return jnp.asarray(
+            r.integers(0, 255, (t, p.image_height, p.image_width, 3)),
+            jnp.uint8,
+        )
+
     gt = np.zeros((p.max_objects, p.image_height, p.image_width), np.float32)
     gt[0, 100:200, 150:300] = 1.0
     gt[1, 250:350, 500:650] = 1.0
     gt = jnp.asarray(gt)
     n_obj = jnp.int32(2)
 
-    # Warmup/compile.
-    labels = run_sequence(models, params, cfg, frames, gt, n_obj)
-    jax.block_until_ready(labels)
+    # Warmup/compile + one fresh-data run to flush any pipelined dispatch.
+    for seed in (0, 1):
+        labels = run_sequence(models, params, cfg, make_frames(seed), gt, n_obj)
+        jax.block_until_ready(labels)
 
     # Measure.
     runs = 3
     start = time.perf_counter()
-    for _ in range(runs):
-        labels = run_sequence(models, params, cfg, frames, gt, n_obj)
+    for seed in range(2, 2 + runs):
+        labels = run_sequence(models, params, cfg, make_frames(seed), gt, n_obj)
         jax.block_until_ready(labels)
     elapsed = time.perf_counter() - start
 

@@ -151,3 +151,86 @@ def finetune_refine(
         if log_every and (it + 1) % log_every == 0:
             print(f"[finetune] step {it + 1}/{ft_cfg.steps} loss={float(loss):.4f}")
     return state.params, float(loss)
+
+
+def labels_to_boxes_masks(labels: np.ndarray, max_objects: int):
+    """[H, W] int label map → (boxes [K,4], masks [K,H,W], valid [K])."""
+    h, w = labels.shape
+    boxes = np.zeros((max_objects, 4), np.float32)
+    masks = np.zeros((max_objects, h, w), np.float32)
+    valid = np.zeros((max_objects,), bool)
+    for slot, obj in enumerate(
+        [int(i) for i in np.unique(labels) if i > 0][:max_objects]
+    ):
+        m = labels == obj
+        ys, xs = np.nonzero(m)
+        if len(ys) == 0:
+            continue
+        boxes[slot] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        masks[slot] = m
+        valid[slot] = True
+    return boxes, masks, valid
+
+
+def finetune_proposals(
+    model,
+    params,
+    anchors,
+    proposal_cfg,
+    first_frame: np.ndarray,
+    first_labels: np.ndarray,
+    mesh,
+    ft_cfg: FinetuneConfig = FinetuneConfig(),
+    seed: int = 0,
+    max_objects: int = 8,
+    log_every: int = 0,
+):
+    """Per-video fine-tune of the Mask R-CNN proposal net on lucid-dream
+    augmentations (the reference fine-tunes this net too — SURVEY.md §3.2).
+
+    first_frame must already be padded to the pipeline canvas. Returns
+    (new_params, final_loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from premvos_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    from premvos_tpu.train.detection import maskrcnn_loss_fn
+
+    rng = np.random.default_rng(seed)
+    h, w = first_frame.shape[:2]
+    n_dev = mesh.devices.size
+    bs = max(1, ft_cfg.batch_size // 2)
+    bs = max(bs - bs % n_dev, n_dev)
+
+    pool_n = min(ft_cfg.num_augmentations, max(ft_cfg.steps, 64))
+    imgs, labs = lucid_batch(first_frame, first_labels, rng, pool_n)
+
+    images_n = (imgs.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    gt = [labels_to_boxes_masks(l, max_objects) for l in labs]
+    gt_boxes = np.stack([g[0] for g in gt])
+    gt_masks = np.stack([g[1] for g in gt])
+    gt_valid = np.stack([g[2] for g in gt])
+
+    loss_fn = maskrcnn_loss_fn(model, anchors, proposal_cfg, (h, w))
+    tx = optax.adam(ft_cfg.learning_rate)
+    state = replicate_state(create_train_state(params, tx), mesh)
+    step = make_dp_train_step(loss_fn, tx, mesh)
+
+    loss = float("nan")
+    for it in range(ft_cfg.steps):
+        idx = rng.integers(0, pool_n, size=bs)
+        seeds = rng.integers(0, 2**31 - 1, size=bs).astype(np.uint32)
+        batch = shard_train_batch(
+            (
+                jnp.asarray(images_n[idx]),
+                jnp.asarray(gt_boxes[idx]),
+                jnp.asarray(gt_masks[idx]),
+                jnp.asarray(gt_valid[idx]),
+                jnp.asarray(seeds),
+            ),
+            mesh,
+        )
+        state, loss = step(state, batch)
+        if log_every and (it + 1) % log_every == 0:
+            print(f"[finetune-prop] step {it + 1}/{ft_cfg.steps} loss={float(loss):.4f}")
+    return state.params, float(loss)

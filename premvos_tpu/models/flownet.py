@@ -149,9 +149,12 @@ class FlowNetC(nn.Module):
         _, c2a, c3a = self.encoder(img1)
         _, _, c3b = self.encoder(img2)
 
-        corr = jax.vmap(
-            lambda a, b: correlation(a, b, self.max_displacement, self.corr_stride)
-        )(c3a.astype(jnp.float32), c3b.astype(jnp.float32))
+        corr = correlation(
+            c3a.astype(jnp.float32),
+            c3b.astype(jnp.float32),
+            self.max_displacement,
+            self.corr_stride,
+        )
         corr = _leaky(corr.astype(self.dtype))
         redir = self.conv_redir(c3a)
         x3 = self.conv3_1(jnp.concatenate([corr, redir], axis=-1))

@@ -67,7 +67,11 @@ def main(argv=None):
         )
         seq_params = params
         if args.finetune:
-            from premvos_tpu.finetune.finetune import finetune_refine
+            from premvos_tpu.finetune.finetune import (
+                finetune_proposals,
+                finetune_refine,
+            )
+            from premvos_tpu.pipeline.runner import get_anchors
 
             first_lab = (
                 seq["gt_labels"][0]
@@ -75,14 +79,19 @@ def main(argv=None):
                 else np.zeros(seq["frames"].shape[1:3], np.int32)
             )
             t0 = time.perf_counter()
-            new_refine, loss = finetune_refine(
+            new_refine, loss_r = finetune_refine(
                 models.refine, params["refine"], seq["frames"][0], first_lab,
                 mesh, cfg.refine, cfg.finetune,
             )
-            seq_params = dict(params, refine=new_refine)
+            new_prop, loss_p = finetune_proposals(
+                models.maskrcnn, params["maskrcnn"], get_anchors(cfg),
+                cfg.proposal, seq["frames"][0], first_lab, mesh, cfg.finetune,
+                max_objects=p.max_objects,
+            )
+            seq_params = dict(params, refine=new_refine, maskrcnn=new_prop)
             log.info(
-                "finetuned %s in %.1fs (loss %.4f)",
-                name, time.perf_counter() - t0, loss,
+                "finetuned %s in %.1fs (refine %.4f, proposal %.4f)",
+                name, time.perf_counter() - t0, loss_r, loss_p,
             )
 
         t0 = time.perf_counter()
