@@ -132,6 +132,7 @@ class FlowNetC(nn.Module):
     max_displacement: int = 20
     corr_stride: int = 2
     dtype: Any = jnp.float32
+    return_pyramid: bool = False
 
     def setup(self):
         self.encoder = _CEncoder(self.dtype)
@@ -161,14 +162,21 @@ class FlowNetC(nn.Module):
         x4 = self.conv4_1(self.conv4(x3))
         x5 = self.conv5_1(self.conv5(x4))
         x6 = self.conv6_1(self.conv6(x5))
-        flow, _ = self.decoder((x6, x5, x4, x3, c2a))
+        flow, flows = self.decoder((x6, x5, x4, x3, c2a))
+        if self.return_pyramid:
+            return flow, flows
         return flow  # 1/4 resolution, units = pixels/div_flow
 
 
 class FlowNetS(nn.Module):
-    """Plain encoder variant; input channels vary (12 inside FlowNet2)."""
+    """Plain encoder variant; input channels vary (12 inside FlowNet2).
+
+    return_pyramid=True additionally returns the coarse→fine flow list for
+    multi-scale EPE training (reference `losses.py` trains on all scales).
+    """
 
     dtype: Any = jnp.float32
+    return_pyramid: bool = False
 
     def setup(self):
         self.conv1 = ConvBlock(64, 7, 2, self.dtype)
@@ -189,7 +197,9 @@ class FlowNetS(nn.Module):
         c4 = self.conv4_1(self.conv4(c3))
         c5 = self.conv5_1(self.conv5(c4))
         c6 = self.conv6_1(self.conv6(c5))
-        flow, _ = self.decoder((c6, c5, c4, c3, c2))
+        flow, flows = self.decoder((c6, c5, c4, c3, c2))
+        if self.return_pyramid:
+            return flow, flows
         return flow  # 1/4 resolution
 
 
