@@ -38,6 +38,12 @@ def main(argv=None):
     ap.add_argument("--finetune", action="store_true")
     ap.add_argument("--max_frames", type=int, default=None)
     ap.add_argument("--config", default=None, help="JSON config preset")
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="skip sequences whose output dir already has every frame "
+        "(sequence-level resume — the TPU analogue of the reference's "
+        "stage-outputs-on-disk restart)",
+    )
     args = ap.parse_args(argv)
 
     log = get_logger()
@@ -62,6 +68,16 @@ def main(argv=None):
 
     results, total_frames, total_time = [], 0, 0.0
     for name in seqs:
+        if args.resume:
+            from pathlib import Path
+
+            done = Path(args.output) / name
+            n_frames = len(ds.frame_paths(name))
+            if args.max_frames:
+                n_frames = min(n_frames, args.max_frames)
+            if done.exists() and len(list(done.glob("*.png"))) >= n_frames:
+                log.info("resume: skipping completed %s", name)
+                continue
         seq = ds.load_sequence(
             name, p.image_height, p.image_width, p.max_objects, args.max_frames
         )
