@@ -24,10 +24,10 @@ class ProposalConfig:
     # Anchors: one scale per FPN level P2..P6, 3 aspect ratios.
     anchor_scales: tuple = (32.0, 64.0, 128.0, 256.0, 512.0)
     anchor_ratios: tuple = (0.5, 1.0, 2.0)
-    rpn_pre_nms_topk: int = 1024  # padded static top-k per level
+    rpn_pre_nms_topk: int = 512  # padded static top-k per level
     rpn_post_nms_topk: int = 256
     rpn_nms_threshold: float = 0.7
-    detections_per_frame: int = 64  # "~20 proposals/frame" padded with headroom
+    detections_per_frame: int = 32  # "~20 proposals/frame" padded with headroom
     detection_nms_threshold: float = 0.5
     # PReMVOS keeps a LOW score threshold for high recall (~20 props/frame).
     detection_score_threshold: float = 0.05
@@ -100,7 +100,7 @@ class PipelineConfig:
     image_height: int = 480
     image_width: int = 864  # 854 padded to a 32-multiple for the backbone
     max_objects: int = 8  # DAVIS-2017 max instances per sequence is ≤ ~10
-    max_proposals: int = 64  # = ProposalConfig.detections_per_frame
+    max_proposals: int = 32  # = ProposalConfig.detections_per_frame
     dtype: str = "bfloat16"  # compute dtype; params stay float32
     mesh_axis: str = "data"  # sequences sharded across chips
 

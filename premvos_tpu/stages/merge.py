@@ -68,11 +68,9 @@ def score_matrix(
     sim = reid_similarity(state.ref_emb, prop_emb, cfg.reid_sigma)  # [K, N]
 
     # Penalty: proposal overlap with *other* objects' warped masks.
-    k = warped.shape[0]
-    others = jnp.where(
-        jnp.eye(k, dtype=bool)[:, :, None, None], 0.0, warped[None]
-    )  # [K, K, H, W]: row k = all warped masks except k's
-    other_union = jnp.clip(others.sum(axis=1), 0.0, 1.0)  # [K, H, W]
+    # Σ_{j≠k} warped_j = Σ_j warped_j − warped_k — no [K, K, H, W] tensor.
+    total = jnp.sum(warped, axis=0, keepdims=True)  # [1, H, W]
+    other_union = jnp.clip(total - warped, 0.0, 1.0)  # [K, H, W]
     overlap = soft_mask_iou(other_union, prop_masks)  # [K, N]
 
     s = (
