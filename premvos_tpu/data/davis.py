@@ -96,12 +96,21 @@ class DavisDataset:
             else np.zeros((0, height, width), np.int32)
         )
 
-        first = gt_labels[0] if len(gt_labels) else np.zeros((height, width), np.int32)
-        ids = [i for i in np.unique(first) if 0 < i <= max_objects]
+        # Each object's mask comes from its FIRST annotated frame
+        # (YouTube-VOS introduces objects mid-sequence; DAVIS always frame 0).
+        ids: list[int] = []
+        intro: list[int] = []
+        for fi, lab in enumerate(gt_labels):
+            for i in np.unique(lab):
+                if 0 < i <= 255 and i not in ids and len(ids) < max_objects:
+                    ids.append(int(i))
+                    intro.append(fi)
         num_objects = len(ids)
         gt_masks = np.zeros((max_objects, height, width), np.float32)
-        for slot, obj in enumerate(ids):
-            gt_masks[slot] = first == obj
+        intro_frames = np.zeros((max_objects,), np.int32)
+        for slot, (obj, fi) in enumerate(zip(ids, intro)):
+            gt_masks[slot] = gt_labels[fi] == obj
+            intro_frames[slot] = fi
 
         return {
             "name": seq,
@@ -109,6 +118,8 @@ class DavisDataset:
             "gt_masks": gt_masks,
             "gt_labels": gt_labels,
             "num_objects": num_objects,
+            "intro_frames": intro_frames,
+            "object_ids": ids,
             "orig_hw": orig_hw,
         }
 

@@ -115,6 +115,7 @@ def main(argv=None):
             models, seq_params, cfg,
             jnp.asarray(seq["frames"]), jnp.asarray(seq["gt_masks"]),
             jnp.int32(seq["num_objects"]),
+            jnp.asarray(seq["intro_frames"]),
         )
         labels = np.asarray(jax.block_until_ready(labels))
         dt = time.perf_counter() - t0

@@ -104,10 +104,14 @@ def boxes_from_masks(masks: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(empty[:, None], 0.0, boxes)
 
 
-def frame_step(models, params, anchors, cfg, state, frame, prev_frame):
+def frame_step(
+    models, params, anchors, cfg, state, frame, prev_frame, intro=None
+):
     """All five stages for one frame; pure function for lax.scan.
 
-    frame/prev_frame: [H, W, 3] float32 in [0, 1].
+    frame/prev_frame: [H, W, 3] float32 in [0, 1]. `intro` optionally
+    introduces objects annotated at this frame (YT-VOS protocol); see
+    stages.merge.merge_frame.
     """
     p = cfg.pipeline
     h, w = p.image_height, p.image_width
@@ -143,7 +147,7 @@ def frame_step(models, params, anchors, cfg, state, frame, prev_frame):
 
     # Stage 5 — merge & track.
     new_state, labels, info = merge_frame(
-        state, prop_masks, scores, emb, valid, flow, cfg.merge
+        state, prop_masks, scores, emb, valid, flow, cfg.merge, intro=intro
     )
     return new_state, labels, info
 
@@ -156,41 +160,63 @@ def run_sequence(
     frames: jnp.ndarray,
     gt_masks: jnp.ndarray,
     num_objects,
+    intro_frames: jnp.ndarray | None = None,
 ):
     """Track a whole sequence in one jitted program.
 
     Args:
       frames: [T, H, W, 3] raw RGB (uint8 or [0,1]); H, W = pipeline canvas.
-      gt_masks: [K, H, W] first-frame GT masks (padded to max_objects).
+      gt_masks: [K, H, W] per-object annotation masks (padded to
+        max_objects) — each object's mask at ITS annotated frame.
       num_objects: scalar — number of real objects.
+      intro_frames: optional [K] int32 — the frame index where each object
+        is annotated/introduced (YouTube-VOS). None ⇒ all at frame 0
+        (DAVIS semi-supervised).
 
-    Returns labels [T, H, W] int32 (frame 0 = GT argmax).
+    Returns labels [T, H, W] int32 (each object's annotated frame emits its
+    annotation verbatim).
     """
     anchors = get_anchors(cfg)
     frames = to_unit(frames)
-
-    # First-frame reference embeddings from GT crops.
-    gt_boxes = boxes_from_masks(gt_masks)
-    img0 = normalize(frames[0])
     k = gt_masks.shape[0]
     gt_valid = jnp.arange(k) < num_objects
-    gt_emb = run_reid(
-        models.reid, params["reid"], img0, gt_boxes, gt_valid,
-        cfg.reid.crop_size,
+    if intro_frames is None:
+        intro_frames = jnp.zeros((k,), jnp.int32)
+
+    # Reference embeddings: each object's crop from its own intro frame.
+    gt_boxes = boxes_from_masks(gt_masks)
+    intro_imgs = normalize(frames[intro_frames])  # [K, H, W, 3]
+    gt_emb = jax.vmap(
+        lambda im, b, v: run_reid(
+            models.reid, params["reid"], im, b[None], v[None],
+            cfg.reid.crop_size,
+        )[0]
+    )(intro_imgs, gt_boxes, gt_valid)
+
+    state = init_state(
+        gt_masks * (intro_frames == 0)[:, None, None], gt_emb, num_objects
     )
-    state = init_state(gt_masks, gt_emb, num_objects)
+    state = state._replace(
+        active=jnp.logical_and(state.active, intro_frames == 0)
+    )
 
     def body(st, xs):
-        frame, prev = xs
-        st, labels, _ = frame_step(models, params, anchors, cfg, st, frame, prev)
+        frame, prev, t = xs
+        new_active = jnp.logical_and(intro_frames == t, gt_valid)
+        st, labels, _ = frame_step(
+            models, params, anchors, cfg, st, frame, prev,
+            intro=(new_active, gt_masks),
+        )
         return st, labels
 
-    _, labels = jax.lax.scan(body, state, (frames[1:], frames[:-1]))
+    ts = jnp.arange(1, frames.shape[0], dtype=jnp.int32)
+    _, labels = jax.lax.scan(body, state, (frames[1:], frames[:-1], ts))
 
-    # Frame 0 label map straight from GT.
+    # Frame 0 label map from objects introduced at frame 0.
     ids = jnp.arange(1, k + 1, dtype=jnp.int32)[:, None, None]
+    at0 = jnp.logical_and(gt_valid, intro_frames == 0)
     gt0 = jnp.where(
-        gt_masks > 0.5, ids * gt_valid[:, None, None].astype(jnp.int32), 0
+        jnp.logical_and(gt_masks > 0.5, at0[:, None, None]), ids, 0
     )
     lab0 = jnp.max(gt0, axis=0)
     return jnp.concatenate([lab0[None], labels], axis=0)

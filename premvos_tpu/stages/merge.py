@@ -139,6 +139,7 @@ def merge_frame(
     prop_valid: jnp.ndarray,
     flow_back: jnp.ndarray,
     cfg: MergeConfig = MergeConfig(),
+    intro: tuple | None = None,
 ):
     """One tracking step.
 
@@ -147,9 +148,19 @@ def merge_frame(
       prop_masks: [N, H, W] refined soft masks for this frame.
       prop_scores / prop_emb / prop_valid: [N] / [N, E] / [N].
       flow_back: [H, W, 2] flow (current → previous frame) for backward warp.
+      intro: optional (new_active [K] bool, intro_masks [K, H, W]) —
+        YouTube-VOS-style mid-sequence object introduction: objects becoming
+        active THIS frame adopt their GT annotation mask directly and join
+        tracking from the next frame.
 
     Returns (new_state, labels [H, W] int32, info dict).
     """
+    new_active = None
+    if intro is not None:
+        # On its annotated frame a new object emits its annotation verbatim
+        # and joins proposal assignment from the NEXT frame (YT-VOS
+        # protocol); it is excluded from this frame's assignment.
+        new_active, intro_masks = intro
     warped = warp_masks(state.prev_masks, flow_back)  # [K, H, W]
     s = score_matrix(
         state, warped, prop_masks, prop_scores, prop_emb, prop_valid, cfg
@@ -170,6 +181,20 @@ def merge_frame(
     # hypothesis (lets tracking coast through brief disappearance; ReID
     # re-acquires on re-appearance).
     new_prev = jnp.where(present[:, None, None], sel, warped)
-    new_state = TrackState(new_prev, state.ref_emb, state.active)
+    active = state.active
+
+    if new_active is not None:
+        # Introduced objects: annotation wins all pixel conflicts this frame.
+        k = new_prev.shape[0]
+        ids = jnp.arange(1, k + 1, dtype=jnp.int32)[:, None, None]
+        cover = jnp.logical_and(
+            intro_masks > cfg.mask_threshold, new_active[:, None, None]
+        )
+        intro_lab = jnp.max(jnp.where(cover, ids, 0), axis=0)
+        labels = jnp.where(intro_lab > 0, intro_lab, labels)
+        new_prev = jnp.where(new_active[:, None, None], intro_masks, new_prev)
+        active = jnp.logical_or(active, new_active)
+
+    new_state = TrackState(new_prev, state.ref_emb, active)
     info = {"assign": assign, "score": a_score, "present": present}
     return new_state, labels, info
