@@ -96,15 +96,22 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Returns {"C2": /4, "C3": /8, "C4": /16, "C5": /32 or /16 dilated}."""
+    """Returns {"C2": /4, "C3": /8, "C4": /16, "C5": /32 or /16 dilated}.
+
+    remat=True rematerializes each bottleneck on the backward pass
+    (jax.checkpoint) — trades FLOPs for HBM, enabling large fine-tune
+    batches at 385²+ resolutions.
+    """
 
     depth: int = 101
     output_stride: int = 32  # 32 for FPN, 16 dilates C5 (DeepLabv3+)
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         blocks = STAGE_BLOCKS[self.depth]
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         x = x.astype(self.dtype)
 
         # Stem: 7×7/2 + 3×3 maxpool/2.
@@ -124,7 +131,7 @@ class ResNet(nn.Module):
             if stage == 3 and self.output_stride == 16:
                 first_stride, dilation = 1, 2
             for b in range(n_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     width,
                     strides=first_stride if b == 0 else 1,
                     dilation=dilation,

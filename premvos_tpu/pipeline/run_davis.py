@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--max_frames", type=int, default=None)
     ap.add_argument("--config", default=None, help="JSON config preset")
     ap.add_argument(
+        "--profile_dir", default=None,
+        help="capture a jax.profiler trace of the first tracked sequence "
+        "(view with TensorBoard/XProf)",
+    )
+    ap.add_argument(
         "--resume", action="store_true",
         help="skip sequences whose output dir already has every frame "
         "(sequence-level resume — the TPU analogue of the reference's "
@@ -110,6 +115,9 @@ def main(argv=None):
                 name, time.perf_counter() - t0, loss_r, loss_p,
             )
 
+        profiling = args.profile_dir and not results and total_frames == 0
+        if profiling:
+            jax.profiler.start_trace(args.profile_dir)
         t0 = time.perf_counter()
         labels = run_sequence(
             models, seq_params, cfg,
@@ -119,6 +127,9 @@ def main(argv=None):
         )
         labels = np.asarray(jax.block_until_ready(labels))
         dt = time.perf_counter() - t0
+        if profiling:
+            jax.profiler.stop_trace()
+            log.info("profiler trace written to %s", args.profile_dir)
         total_frames += labels.shape[0] - 1
         total_time += dt
         log.info("%s: %d frames in %.2fs (%.2f fps)",
