@@ -1,0 +1,144 @@
+"""Pallas TPU kernel: fused multilevel (FPN) RoIAlign.
+
+The XLA path (models.maskrcnn.multilevel_roi_align) computes RoIAlign on ALL
+four pyramid levels and one-hot-selects per RoI — 4× the needed FLOPs, the
+standard static-shape trick. This kernel keeps all four level slabs resident
+in VMEM per channel block and computes each RoI ONLY on its assigned level
+via a `lax.switch`, eliminating the 4× waste while staying fully static.
+
+Grid = (channel blocks, RoI blocks); boxes and per-RoI level indices arrive
+via scalar prefetch; per-RoI interpolation matrices are built in-kernel from
+iota comparisons and applied as two MXU dots (same math as
+ops.roi_align.roi_align_matmul).
+
+Parity: models.maskrcnn.multilevel_roi_align (fp32 in interpret mode; on TPU
+within default-matmul bf16 rounding).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from premvos_tpu.ops.pallas.roi_align_pallas import _interp_rows
+
+# FPN geometry (models.fpn): P2..P5 strides.
+STRIDES = (4, 8, 16, 32)
+
+
+def _kernel(boxes_ref, levels_ref, f2, f3, f4, f5, out_ref, *, rb, p, s):
+    i = pl.program_id(1)
+    ps = p * s
+    feats = (f2[:], f3[:], f4[:], f5[:])
+    cb = feats[0].shape[-1]
+
+    grid_pts = (
+        jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0).astype(jnp.float32)[:, 0]
+        + 0.5
+    ) / ps
+
+    for r in range(rb):
+        idx = i * rb + r
+        lvl = levels_ref[idx]
+
+        def one_level(feat, stride):
+            h, w = feat.shape[0], feat.shape[1]
+            scale = 1.0 / stride
+            x1 = boxes_ref[idx, 0] * scale - 0.5
+            y1 = boxes_ref[idx, 1] * scale - 0.5
+            x2 = boxes_ref[idx, 2] * scale - 0.5
+            y2 = boxes_ref[idx, 3] * scale - 0.5
+            bw = jnp.maximum(x2 - x1, 1e-6)
+            bh = jnp.maximum(y2 - y1, 1e-6)
+            ys = y1 + grid_pts * bh
+            xs = x1 + grid_pts * bw
+            wy = _interp_rows(ys, h)  # [ps, H]
+            wx = _interp_rows(xs, w)  # [ps, W]
+            tmp = jax.lax.dot_general(
+                wy, feat.reshape(h, w * cb), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(ps, w, cb)
+            out = jax.lax.dot_general(
+                wx, tmp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [ps_x, ps_y, CB]
+            return jnp.transpose(out, (1, 0, 2))
+
+        pooled_full = jax.lax.switch(
+            jnp.clip(lvl - 2, 0, 3),
+            [functools.partial(one_level, f, st) for f, st in zip(feats, STRIDES)],
+        )
+        out_ref[r] = (
+            pooled_full.reshape(p, s, p, s, cb).mean(axis=(1, 3))
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("output_size", "sampling_ratio", "roi_block",
+                     "channel_block", "interpret"),
+)
+def multilevel_roi_align_pallas(
+    p2: jnp.ndarray,
+    p3: jnp.ndarray,
+    p4: jnp.ndarray,
+    p5: jnp.ndarray,
+    boxes: jnp.ndarray,
+    levels: jnp.ndarray,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    roi_block: int = 8,
+    channel_block: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """P2..P5 [Hi, Wi, C] + boxes [N, 4] (image coords) + levels [N] ∈ 2..5
+    → [N, P, P, C]."""
+    c = p2.shape[-1]
+    n = boxes.shape[0]
+    p, s = output_size, sampling_ratio
+    cb = min(channel_block, c)
+    rb = min(roi_block, n)
+    n_pad = (-n) % rb
+    c_pad = (-c) % cb
+
+    feats = [
+        jnp.pad(f, ((0, 0), (0, 0), (0, c_pad))) for f in (p2, p3, p4, p5)
+    ]
+    boxes_p = jnp.pad(boxes.astype(jnp.float32), ((0, n_pad), (0, 0)))
+    levels_p = jnp.pad(levels.astype(jnp.int32), (0, n_pad))
+    n_cb = (c + c_pad) // cb
+    n_rb = (n + n_pad) // rb
+
+    slab = sum(f.shape[0] * f.shape[1] for f in feats) * cb * feats[0].dtype.itemsize
+    vmem_budget = min(3 * slab + 16 * 1024 * 1024, 110 * 1024 * 1024)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # boxes, levels
+        grid=(n_cb, n_rb),
+        in_specs=[
+            pl.BlockSpec(
+                (f.shape[0], f.shape[1], cb), lambda j, i, *_: (0, 0, j),
+                memory_space=pltpu.VMEM,
+            )
+            for f in feats
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, p, p, cb), lambda j, i, *_: (i, 0, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, rb=rb, p=p, s=s),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n + n_pad, p, p, c + c_pad), p2.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
+        interpret=interpret,
+    )(boxes_p, levels_p, *feats)
+    return out[:n, :, :, :c]
