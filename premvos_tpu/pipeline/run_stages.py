@@ -29,7 +29,6 @@ import numpy as np
 from premvos_tpu.config import PremvosConfig, load_config
 from premvos_tpu.data.davis import DavisDataset, crop_result, save_results
 from premvos_tpu.data.preprocess import normalize, to_unit
-from premvos_tpu.io_compat import rle as rle_codec
 from premvos_tpu.io_compat.flo import read_flo, write_flo
 from premvos_tpu.io_compat.proposals_json import (
     FrameProposals,

@@ -25,7 +25,7 @@ from premvos_tpu.models.deeplab import DeepLabV3Plus
 from premvos_tpu.models.flownet import FlowNet2
 from premvos_tpu.models.maskrcnn import MaskRCNN
 from premvos_tpu.models.reid import ReIDNet
-from premvos_tpu.stages.merge import TrackState, init_state, merge_frame
+from premvos_tpu.stages.merge import init_state, merge_frame
 from premvos_tpu.stages.refine import refined_fullres, run_refine
 from premvos_tpu.stages.reid import run_reid
 from premvos_tpu.stages.proposals import run_proposals  # noqa: F401 (re-export)

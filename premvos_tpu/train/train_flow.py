@@ -18,7 +18,7 @@ import numpy as np
 import optax
 
 from premvos_tpu.data.flow_pairs import FlowPairDataset
-from premvos_tpu.models.flownet import FlowNetC, FlowNetS
+from premvos_tpu.models.flownet import FlowNetC
 from premvos_tpu.parallel.mesh import make_mesh
 from premvos_tpu.train.losses import multiscale_epe
 from premvos_tpu.train.trainer import (

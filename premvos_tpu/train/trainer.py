@@ -10,7 +10,6 @@ is one XLA program riding ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax
