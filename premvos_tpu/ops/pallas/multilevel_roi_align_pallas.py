@@ -12,7 +12,13 @@ iota comparisons and applied as two MXU dots (same math as
 ops.roi_align.roi_align_matmul).
 
 Parity: models.maskrcnn.multilevel_roi_align (fp32 in interpret mode; on TPU
-within default-matmul bf16 rounding).
+within default-matmul bf16 rounding — measured 1.1e-2 abs on |mean|≈0.17).
+
+Measured (256 RoIs, full FPN 480×864 geometry, C=256, v5e): 7.28 ms vs
+9.04 ms for the XLA 4-level path. Not yet wired into MaskRCNN (the detect
+path runs under a per-image vmap, which cannot batch through the
+scalar-prefetch/ANY operands — needs a native batch grid like
+correlation_pallas; round-2 item).
 """
 
 from __future__ import annotations
