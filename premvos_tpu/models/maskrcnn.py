@@ -60,6 +60,54 @@ def multilevel_roi_align(
     return out
 
 
+def multilevel_roi_align_auto(
+    feats: dict, boxes: jnp.ndarray, output_size: int, sampling_ratio: int = 2
+) -> jnp.ndarray:
+    """Dispatching multilevel align: the fused Pallas kernel on TPU (computes
+    each RoI only on its assigned level), XLA 4-level path elsewhere.
+
+    The kernel's scalar-prefetch operands can't batch, so a custom_vmap rule
+    falls back to the XLA path whenever this is traced under vmap (e.g. the
+    sequence-sharded runner vmaps whole sequences).
+    """
+    import os
+
+    # Default OFF: at full maskrcnn scale the fused kernel measured ~10×
+    # slower than the XLA 4-level path (predicated per-level blocks execute
+    # all four levels' latency serially per RoI block) and showed a numerical
+    # regression under bf16 — round-2 item (see kernel docstring).
+    use_pallas = (
+        os.environ.get("PREMVOS_FUSED_ALIGN", "0") == "1"
+        and jax.default_backend() != "cpu"
+    )
+    if not use_pallas:
+        return multilevel_roi_align(feats, boxes, output_size, sampling_ratio)
+
+    from premvos_tpu.ops.pallas.multilevel_roi_align_pallas import (
+        multilevel_roi_align_pallas,
+    )
+
+    @jax.custom_batching.custom_vmap
+    def fused(p2, p3, p4, p5, b):
+        return multilevel_roi_align_pallas(
+            p2, p3, p4, p5, b, roi_levels(b), output_size, sampling_ratio
+        )
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, p2, p3, p4, p5, b):
+        axes = [0 if bt else None for bt in in_batched]
+        out = jax.vmap(
+            lambda a2, a3, a4, a5, bb: multilevel_roi_align(
+                {"P2": a2, "P3": a3, "P4": a4, "P5": a5}, bb,
+                output_size, sampling_ratio,
+            ),
+            in_axes=axes,
+        )(p2, p3, p4, p5, b)
+        return out, True
+
+    return fused(feats["P2"], feats["P3"], feats["P4"], feats["P5"], boxes)
+
+
 class MaskRCNN(nn.Module):
     cfg: ProposalConfig = ProposalConfig()
     dtype: Any = jnp.float32
@@ -102,12 +150,13 @@ class MaskRCNN(nn.Module):
 
         return jax.vmap(per_image)(logits, deltas)
 
-    def detect(self, feats: dict, rois, roi_valid, image_hw):
+    def detect(self, feats: dict, rois, roi_valid, image_hw,
+               align_fn=multilevel_roi_align):
         """Per-image second stage: box refinement + NMS → padded detections."""
         h, w = image_hw
         cfg = self.cfg
 
-        roi_feats = multilevel_roi_align(feats, rois, cfg.roi_align_size)
+        roi_feats = align_fn(feats, rois, cfg.roi_align_size)
         logits, deltas = self.box_head(roi_feats)
         # Class-agnostic: P(object) from a 2-way softmax.
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -129,9 +178,9 @@ class MaskRCNN(nn.Module):
         det_scores = jnp.where(keep, scores[safe], 0.0)
         return det_boxes, det_scores, keep
 
-    def masks(self, feats: dict, det_boxes):
+    def masks(self, feats: dict, det_boxes, align_fn=multilevel_roi_align):
         """Per-image mask branch → [D, 2P, 2P] mask logits in box frame."""
-        mf = multilevel_roi_align(feats, det_boxes, self.cfg.mask_roi_align_size)
+        mf = align_fn(feats, det_boxes, self.cfg.mask_roi_align_size)
         return self.mask_head(mf)
 
     def __call__(self, images: jnp.ndarray, anchors: dict):
@@ -154,6 +203,11 @@ class MaskRCNN(nn.Module):
             mask_logits = self.masks(f, det_boxes)
             return det_boxes, det_scores, det_valid, mask_logits
 
+        # NOTE: always the vmapped path, even at B=1. An unbatched "fast
+        # path" wired to the fused Pallas align was tried in round 1 and
+        # regressed 10× with vanishing detections on TPU (see
+        # ops/pallas/multilevel_roi_align_pallas.py STATUS); the vmapped
+        # XLA path is the measured-good production route.
         det_boxes, det_scores, det_valid, mask_logits = jax.vmap(per_image)(
             feats, rois, roi_valid
         )

@@ -14,11 +14,16 @@ ops.roi_align.roi_align_matmul).
 Parity: models.maskrcnn.multilevel_roi_align (fp32 in interpret mode; on TPU
 within default-matmul bf16 rounding — measured 1.1e-2 abs on |mean|≈0.17).
 
-Measured (256 RoIs, full FPN 480×864 geometry, C=256, v5e): 7.28 ms vs
-9.04 ms for the XLA 4-level path. Not yet wired into MaskRCNN (the detect
-path runs under a per-image vmap, which cannot batch through the
-scalar-prefetch/ANY operands — needs a native batch grid like
-correlation_pallas; round-2 item).
+STATUS (end of round 1): standalone fp32 measurement beat the XLA path
+(7.28 ms vs 9.04 ms, 256 RoIs, full FPN geometry, lax.switch version), but
+the switch version spilled 121 MB of vregs inside the full maskrcnn program
+(VMEM OOM). The predicated-@pl.when rewrite fits memory but executes every
+level's block serially per RoI (~10× slower in situ) and showed a bf16
+numerical regression (detections vanished). Wiring is therefore gated OFF
+behind PREMVOS_FUSED_ALIGN=1 (models.maskrcnn.multilevel_roi_align_auto);
+the XLA 4-level path remains production. Round-2 plan: sort RoIs by level
+outside the kernel and use a per-level grid partition (no per-RoI branch at
+all) with a native batch dimension.
 """
 
 from __future__ import annotations
@@ -36,11 +41,12 @@ from premvos_tpu.ops.pallas.roi_align_pallas import _interp_rows
 STRIDES = (4, 8, 16, 32)
 
 
-def _kernel(boxes_ref, levels_ref, f2, f3, f4, f5, out_ref, *, rb, p, s):
+def _kernel(boxes_ref, levels_ref, f2, f3, f4, f5, out_ref, tmp_ref,
+            *, rb, p, s):
     i = pl.program_id(1)
     ps = p * s
-    feats = (f2[:], f3[:], f4[:], f5[:])
-    cb = feats[0].shape[-1]
+    feat_refs = (f2, f3, f4, f5)
+    cb = f2.shape[-1]
 
     grid_pts = (
         jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0).astype(jnp.float32)[:, 0]
@@ -51,36 +57,41 @@ def _kernel(boxes_ref, levels_ref, f2, f3, f4, f5, out_ref, *, rb, p, s):
         idx = i * rb + r
         lvl = levels_ref[idx]
 
-        def one_level(feat, stride):
-            h, w = feat.shape[0], feat.shape[1]
-            scale = 1.0 / stride
-            x1 = boxes_ref[idx, 0] * scale - 0.5
-            y1 = boxes_ref[idx, 1] * scale - 0.5
-            x2 = boxes_ref[idx, 2] * scale - 0.5
-            y2 = boxes_ref[idx, 3] * scale - 0.5
-            bw = jnp.maximum(x2 - x1, 1e-6)
-            bh = jnp.maximum(y2 - y1, 1e-6)
-            ys = y1 + grid_pts * bh
-            xs = x1 + grid_pts * bw
-            wy = _interp_rows(ys, h)  # [ps, H]
-            wx = _interp_rows(xs, w)  # [ps, W]
-            tmp = jax.lax.dot_general(
-                wy, feat.reshape(h, w * cb), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(ps, w, cb)
-            out = jax.lax.dot_general(
-                wx, tmp, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [ps_x, ps_y, CB]
-            return jnp.transpose(out, (1, 0, 2))
+        # Predicated per-level blocks (NOT lax.switch: a switch makes Mosaic
+        # hold every branch's [ps, W·CB] intermediate in vregs at once —
+        # observed 121 MB of spill slots). The intermediate round-trips
+        # through a VMEM scratch instead.
+        for li, (fref, stride) in enumerate(zip(feat_refs, STRIDES)):
 
-        pooled_full = jax.lax.switch(
-            jnp.clip(lvl - 2, 0, 3),
-            [functools.partial(one_level, f, st) for f, st in zip(feats, STRIDES)],
-        )
-        out_ref[r] = (
-            pooled_full.reshape(p, s, p, s, cb).mean(axis=(1, 3))
-        ).astype(out_ref.dtype)
+            @pl.when(lvl == li + 2)
+            def _(fref=fref, stride=stride):
+                feat = fref[:]
+                h, w = feat.shape[0], feat.shape[1]
+                scale = 1.0 / stride
+                x1 = boxes_ref[idx, 0] * scale - 0.5
+                y1 = boxes_ref[idx, 1] * scale - 0.5
+                x2 = boxes_ref[idx, 2] * scale - 0.5
+                y2 = boxes_ref[idx, 3] * scale - 0.5
+                bw = jnp.maximum(x2 - x1, 1e-6)
+                bh = jnp.maximum(y2 - y1, 1e-6)
+                ys = y1 + grid_pts * bh
+                xs = x1 + grid_pts * bw
+                # First (big) dot in the feature dtype on the MXU; second dot
+                # is tiny and runs fully fp32 against the f32 scratch.
+                wy = _interp_rows(ys, h).astype(feat.dtype)  # [ps, H]
+                wx = _interp_rows(xs, w)  # [ps, W] f32
+                tmp_ref[:, :w, :] = jax.lax.dot_general(
+                    wy, feat.reshape(h, w * cb), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(ps, w, cb)
+                out = jax.lax.dot_general(
+                    wx, tmp_ref[:, :w, :], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [ps_x, ps_y, CB]
+                pooled_full = jnp.transpose(out, (1, 0, 2))
+                out_ref[r] = (
+                    pooled_full.reshape(p, s, p, s, cb).mean(axis=(1, 3))
+                ).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -119,8 +130,11 @@ def multilevel_roi_align_pallas(
     n_cb = (c + c_pad) // cb
     n_rb = (n + n_pad) // rb
 
+    # Keep the budget tight: v5e has 128M VMEM for the WHOLE program and the
+    # detect path runs this kernel twice amid other kernels. Slabs are
+    # double-buffered; working set (interp matrices, tmp, out window) ≤ ~4M.
     slab = sum(f.shape[0] * f.shape[1] for f in feats) * cb * feats[0].dtype.itemsize
-    vmem_budget = min(3 * slab + 16 * 1024 * 1024, 110 * 1024 * 1024)
+    vmem_budget = min(2 * slab + 8 * 1024 * 1024, 100 * 1024 * 1024)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # boxes, levels
@@ -136,8 +150,12 @@ def multilevel_roi_align_pallas(
             (rb, p, p, cb), lambda j, i, *_: (i, 0, 0, j),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            # Shared intermediate (sized for the widest level, P2): keeps the
+            # [ps, W·CB] product in VMEM instead of vregs.
+            pltpu.VMEM((p * s, feats[0].shape[1], cb), jnp.float32),
+        ],
     )
-
     out = pl.pallas_call(
         functools.partial(_kernel, rb=rb, p=p, s=s),
         grid_spec=grid_spec,

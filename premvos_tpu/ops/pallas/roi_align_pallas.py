@@ -76,13 +76,13 @@ def _roi_kernel(
 
         ys = y1 + grid_pts * bh
         xs = x1 + grid_pts * bw
-        wy = _interp_rows(ys, h)  # [ps, H]
-        wx = _interp_rows(xs, w)  # [ps, W]
+        wy = _interp_rows(ys, h).astype(feat.dtype)  # [ps, H]
+        wx = _interp_rows(xs, w).astype(feat.dtype)  # [ps, W]
 
         tmp = jax.lax.dot_general(
             wy, feat2d, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(ps, w, cb)
+        ).reshape(ps, w, cb).astype(feat.dtype)
         # [ps_x, W] × [ps_y, W, CB] → [ps_y, ps_x, CB], contracting W.
         out_full = jax.lax.dot_general(
             wx, tmp, (((1,), (1,)), ((), ())),

@@ -124,12 +124,16 @@ def frame_step(
     valid = det["valid"][0]
     mask_logits = det["mask_logits"][0]
 
-    # Stage 2 — refinement on 385² crops.
+    # Stage 2 — refinement on 385² crops. Full-res soft masks are stored in
+    # the compute dtype (bf16): [N, H, W] is the merge stage's bandwidth
+    # driver, and the paste itself stays fp32 inside refined_fullres.
     ref_logits, crop_boxes = run_refine(
         models.refine, params["refine"], img_n[0], boxes, mask_logits, valid,
         cfg.refine,
     )
-    prop_masks = refined_fullres(ref_logits, crop_boxes, valid, h, w)
+    prop_masks = refined_fullres(ref_logits, crop_boxes, valid, h, w).astype(
+        jnp.dtype(p.dtype)
+    )
 
     # Stage 3 — backward flow (current → previous) at the flow net's grid.
     fh, fw = cfg.flow.infer_height, cfg.flow.infer_width
