@@ -71,21 +71,27 @@ def main(argv=None):
     seqs = args.sequences or ds.sequences
     mesh = make_mesh()
 
-    results, total_frames, total_time = [], 0, 0.0
-    for name in seqs:
-        if args.resume:
-            from pathlib import Path
+    if args.resume:
+        from pathlib import Path
 
+        remaining = []
+        for name in seqs:
             done = Path(args.output) / name
             n_frames = len(ds.frame_paths(name))
             if args.max_frames:
                 n_frames = min(n_frames, args.max_frames)
             if done.exists() and len(list(done.glob("*.png"))) >= n_frames:
                 log.info("resume: skipping completed %s", name)
-                continue
-        seq = ds.load_sequence(
-            name, p.image_height, p.image_width, p.max_objects, args.max_frames
-        )
+            else:
+                remaining.append(name)
+        seqs = remaining
+
+    from premvos_tpu.data.prefetch import prefetch_sequences
+
+    results, total_frames, total_time = [], 0, 0.0
+    for name, seq in prefetch_sequences(
+        ds, seqs, p.image_height, p.image_width, p.max_objects, args.max_frames
+    ):
         seq_params = params
         if args.finetune:
             from premvos_tpu.finetune.finetune import (
@@ -99,14 +105,16 @@ def main(argv=None):
                 if len(seq["gt_labels"])
                 else np.zeros(seq["frames"].shape[1:3], np.int32)
             )
+            # cv2-based augmentation needs host arrays.
+            frame0 = np.asarray(seq["frames"][0])
             t0 = time.perf_counter()
             new_refine, loss_r = finetune_refine(
-                models.refine, params["refine"], seq["frames"][0], first_lab,
+                models.refine, params["refine"], frame0, first_lab,
                 mesh, cfg.refine, cfg.finetune,
             )
             new_prop, loss_p = finetune_proposals(
                 models.maskrcnn, params["maskrcnn"], get_anchors(cfg),
-                cfg.proposal, seq["frames"][0], first_lab, mesh, cfg.finetune,
+                cfg.proposal, frame0, first_lab, mesh, cfg.finetune,
                 max_objects=p.max_objects,
             )
             seq_params = dict(params, refine=new_refine, maskrcnn=new_prop)
