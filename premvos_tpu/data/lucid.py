@@ -42,6 +42,31 @@ def inpaint_background(image: np.ndarray, labels: np.ndarray) -> np.ndarray:
     return cv2.inpaint(image, mask, 5, cv2.INPAINT_TELEA)
 
 
+def _elastic_maps(rng, h, w, alpha: float = 8.0, sigma: float = 12.0):
+    """Smooth random displacement fields for non-rigid (thin-plate-style)
+    deformation — the LDD recipe deforms objects non-rigidly, not just
+    affinely."""
+    dx = cv2.GaussianBlur(
+        rng.uniform(-1, 1, (h, w)).astype(np.float32), (0, 0), sigma
+    ) * alpha
+    dy = cv2.GaussianBlur(
+        rng.uniform(-1, 1, (h, w)).astype(np.float32), (0, 0), sigma
+    ) * alpha
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    return xx + dx, yy + dy
+
+
+def elastic_deform(image, mask, rng, alpha: float = 8.0, sigma: float = 12.0):
+    """Apply one smooth non-rigid warp to (image, mask) jointly."""
+    h, w = mask.shape
+    mx, my = _elastic_maps(rng, h, w, alpha, sigma)
+    img_w = cv2.remap(image, mx, my, cv2.INTER_LINEAR,
+                      borderMode=cv2.BORDER_REFLECT)
+    m_w = cv2.remap(mask.astype(np.uint8), mx, my, cv2.INTER_NEAREST)
+    return img_w, m_w
+
+
 def lucid_dream(
     image: np.ndarray,
     labels: np.ndarray,
@@ -71,6 +96,8 @@ def lucid_dream(
         am = _rand_affine(rng, h, w)
         fg_w = cv2.warpAffine(fg, am, (w, h))
         m_w = cv2.warpAffine(m, am, (w, h), flags=cv2.INTER_NEAREST)
+        if rng.uniform() < 0.8:  # non-rigid deformation on top of the affine
+            fg_w, m_w = elastic_deform(fg_w, m_w, rng)
         fg_w = _photometric(rng, fg_w)
         sel = m_w.astype(bool)
         canvas[sel] = fg_w[sel]
