@@ -89,6 +89,46 @@ class InstanceCropDataset:
         )
 
 
+class VocCropDataset(InstanceCropDataset):
+    """PASCAL-VOC layout → identity-labeled object crops.
+
+    Reads `Annotations/*.xml` bounding boxes + `JPEGImages/*.jpg` (the
+    reference's ReID net trains on COCO **and** PASCAL crops). Reuses the
+    COCO reader's crop/PK machinery by synthesizing the instance list."""
+
+    def __init__(self, voc_root, crop_size: int = 128, min_area: float = 400.0):
+        import xml.etree.ElementTree as ET
+
+        voc_root = Path(voc_root)
+        self.images_dir = voc_root / "JPEGImages"
+        self.crop_size = crop_size
+        self.images = {}
+        self.instances = []
+        aid = 0
+        for i, xml_path in enumerate(sorted((voc_root / "Annotations").glob("*.xml"))):
+            tree = ET.parse(xml_path)
+            fname = tree.findtext("filename") or (xml_path.stem + ".jpg")
+            self.images[i] = {"id": i, "file_name": fname}
+            for obj in tree.iter("object"):
+                bb = obj.find("bndbox")
+                x1 = float(bb.findtext("xmin"))
+                y1 = float(bb.findtext("ymin"))
+                x2 = float(bb.findtext("xmax"))
+                y2 = float(bb.findtext("ymax"))
+                area = (x2 - x1) * (y2 - y1)
+                if area < min_area:
+                    continue
+                self.instances.append(
+                    {
+                        "id": aid,
+                        "image_id": i,
+                        "bbox": [x1, y1, x2 - x1, y2 - y1],
+                        "area": area,
+                    }
+                )
+                aid += 1
+
+
 def make_synthetic_coco(root, num_images: int = 4, per_image: int = 2,
                         hw=(64, 64)):
     """Tiny COCO-format tree for tests: colored rectangles as instances."""
