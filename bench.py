@@ -55,20 +55,24 @@ def main():
         labels = run_sequence(models, params, cfg, make_frames(seed), gt, n_obj)
         jax.block_until_ready(labels)
 
-    # Measure per run and take the MEDIAN: timing through this platform's
-    # remote relay is noisy (observed 3× run-to-run swings on an identical
-    # cached graph), and the median resists both stragglers and
-    # too-good-to-be-true outliers.
+    # Measure per run, MEDIAN of 5. Two platform defenses: fresh inputs every
+    # run (identical buffers were observed to memoize), and a full
+    # device→host transfer inside the timed region — block_until_ready
+    # through this remote relay was observed returning before execution
+    # (impossible >peak-FLOPs rates), while a host copy cannot complete
+    # until the result actually exists.
     runs = 5
     times = []
+    sink = 0
     for seed in range(2, 2 + runs):
         frames = make_frames(seed)
         start = time.perf_counter()
         labels = run_sequence(models, params, cfg, frames, gt, n_obj)
-        jax.block_until_ready(labels)
+        sink += int(np.asarray(labels)[-1].sum())
         times.append(time.perf_counter() - start)
 
     fps = (t - 1) / sorted(times)[len(times) // 2]
+    assert sink >= 0  # keep the transfer live
     print(
         json.dumps(
             {
