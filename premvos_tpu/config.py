@@ -103,6 +103,11 @@ class PipelineConfig:
     max_proposals: int = 32  # = ProposalConfig.detections_per_frame
     dtype: str = "bfloat16"  # compute dtype; params stay float32
     mesh_axis: str = "data"  # sequences sharded across chips
+    # Frames per batched stage dispatch. Stages 1–4 (proposals, refine,
+    # flow, ReID) have no frame-to-frame dependency — only the merge does —
+    # so they run batched over scan_chunk frames and only the merge scans
+    # frame-by-frame. 1 recovers the fully sequential round-1 path.
+    scan_chunk: int = 8
 
 
 @dataclass(frozen=True)

@@ -25,7 +25,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
-STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+STAGE_BLOCKS = {
+    26: (1, 1, 1, 1),  # minimal bottleneck net for tests/dryruns
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
 
 
 class FrozenBatchNorm(nn.Module):

@@ -42,25 +42,52 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def run_sequences_sharded(models, params, cfg, frames, gt_masks, num_objects, mesh):
+def run_sequences_sharded(
+    models, params, cfg, frames, gt_masks, num_objects, mesh, axis="data"
+):
     """Track a sharded batch of sequences: frames [B, T, H, W, 3],
-    gt_masks [B, K, H, W], num_objects [B]. B must divide the mesh size.
+    gt_masks [B, K, H, W], num_objects [B]. mesh size must divide B.
 
-    Parameters are replicated; the batch axis is sharded; each chip scans its
-    sequences with the fused pipeline. Compiled once via jit with shardings
-    propagated from the inputs.
+    Parameters are replicated; the batch axis is sharded via `shard_map`;
+    each chip runs its local sequences UNBATCHED through the fused scan,
+    looping with `lax.map` when it owns more than one. No collectives on the
+    hot path (sequences are embarrassingly parallel); shard_map (rather than
+    vmap + sharding propagation) keeps the per-chip program identical to the
+    single-sequence one — a whole-pipeline vmap measured ~9× slower to
+    compile for zero runtime benefit.
     """
-    from premvos_tpu.pipeline.runner import run_sequence
+    from jax import shard_map
 
     params = replicate(params, mesh)
     frames, gt_masks, num_objects = shard_batch(
-        (frames, gt_masks, jnp.asarray(num_objects)), mesh
+        (frames, gt_masks, jnp.asarray(num_objects)), mesh, axis
     )
+    b = frames.shape[0]
+    n_shards = mesh.shape[axis]
+    assert b % n_shards == 0, (b, n_shards)
+    b_local = b // n_shards
 
-    fn = jax.jit(
-        jax.vmap(
-            lambda f, g, n: run_sequence(models, params, cfg, f, g, n),
-            in_axes=(0, 0, 0),
-        )
+    def spec(x):
+        return P(axis, *([None] * (x.ndim - 1)))
+
+    local_fn = shard_map(
+        lambda p, f, g, n: _run_local(models, p, cfg, f, g, n, b_local),
+        mesh=mesh,
+        in_specs=(P(), spec(frames), spec(gt_masks), P(axis)),
+        out_specs=spec(jnp.zeros((b,) + frames.shape[1:4])),
+        check_vma=False,
     )
-    return fn(frames, gt_masks, num_objects)
+    return jax.jit(local_fn)(params, frames, gt_masks, num_objects)
+
+
+def _run_local(models, params, cfg, frames, gt_masks, num_objects, b_local):
+    from premvos_tpu.pipeline.runner import run_sequence
+
+    if b_local == 1:
+        return run_sequence(
+            models, params, cfg, frames[0], gt_masks[0], num_objects[0]
+        )[None]
+    return jax.lax.map(
+        lambda xs: run_sequence(models, params, cfg, *xs),
+        (frames, gt_masks, num_objects),
+    )

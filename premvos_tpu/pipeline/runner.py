@@ -26,7 +26,7 @@ from premvos_tpu.models.flownet import FlowNet2
 from premvos_tpu.models.maskrcnn import MaskRCNN
 from premvos_tpu.models.reid import ReIDNet
 from premvos_tpu.stages.merge import init_state, merge_frame
-from premvos_tpu.stages.refine import refined_fullres, run_refine
+from premvos_tpu.stages.refine import make_refine_crops, refined_fullres, run_refine
 from premvos_tpu.stages.reid import run_reid
 from premvos_tpu.stages.proposals import run_proposals  # noqa: F401 (re-export)
 
@@ -156,6 +156,63 @@ def frame_step(
     return new_state, labels, info
 
 
+def stages_batch(models, params, anchors, cfg, frames_chunk, prev_chunk):
+    """Stages 1–4 for a chunk of C frames, batched over the frame axis.
+
+    These stages have no frame-to-frame dependency (the reference runs each
+    as its own whole-dataset process — SURVEY.md §3.1–§3.5); only the merge
+    carries state. Batching them multiplies arithmetic intensity: the
+    backbone/flow nets run at batch C instead of 1, and the refinement /
+    ReID nets see C·N crops per dispatch.
+
+    frames_chunk / prev_chunk: [C, H, W, 3] float32 in [0, 1].
+    Returns (prop_masks [C, N, H, W], scores [C, N], emb [C, N, E],
+             valid [C, N], flow [C, H, W, 2]).
+    """
+    p = cfg.pipeline
+    h, w = p.image_height, p.image_width
+    c = frames_chunk.shape[0]
+
+    # Stage 1 — proposals, batch C.
+    imgs = normalize(frames_chunk)
+    det = models.maskrcnn.apply(params["maskrcnn"], imgs, anchors)
+    boxes, scores = det["boxes"], det["scores"]
+    valid, mask_logits = det["valid"], det["mask_logits"]
+    n = boxes.shape[1]
+
+    # Stage 2 — refinement on all C·N crops in one dispatch.
+    crops, crop_boxes = jax.vmap(
+        lambda im, b, ml: make_refine_crops(
+            im, b, ml, cfg.refine.crop_size, cfg.refine.box_margin
+        )
+    )(imgs, boxes, mask_logits)
+    s = cfg.refine.crop_size
+    ref_logits = models.refine.apply(
+        params["refine"], crops.reshape(c * n, s, s, crops.shape[-1])
+    ).reshape(c, n, s, s)
+    ref_logits = ref_logits * valid[..., None, None].astype(ref_logits.dtype)
+    prop_masks = jax.vmap(refined_fullres, in_axes=(0, 0, 0, None, None))(
+        ref_logits, crop_boxes, valid, h, w
+    ).astype(jnp.dtype(p.dtype))
+
+    # Stage 3 — backward flow for all C pairs at once.
+    fh, fw = cfg.flow.infer_height, cfg.flow.infer_width
+    cur = jax.image.resize(frames_chunk, (c, fh, fw, 3), "bilinear")
+    prev = jax.image.resize(prev_chunk, (c, fh, fw, 3), "bilinear")
+    flow = models.flow.apply(params["flow"], cur, prev)
+    flow = jax.image.resize(flow, (c, h, w, 2), "bilinear")
+    flow = flow * jnp.array([w / fw, h / fh], flow.dtype)
+
+    # Stage 4 — ReID embeddings of all C·N crops.
+    emb = jax.vmap(
+        lambda im, b, v: run_reid(
+            models.reid, params["reid"], im, b, v, cfg.reid.crop_size
+        )
+    )(imgs, boxes, valid)
+
+    return prop_masks, scores, emb, valid, flow
+
+
 @partial(jax.jit, static_argnames=("models", "cfg"))
 def run_sequence(
     models: Models,
@@ -204,17 +261,47 @@ def run_sequence(
         active=jnp.logical_and(state.active, intro_frames == 0)
     )
 
-    def body(st, xs):
-        frame, prev, t = xs
+    # Two-level scan: stages 1–4 batched over scan_chunk frames (no frame
+    # dependency), merge scanned frame-by-frame inside each chunk. Steps are
+    # padded to a chunk multiple by repeating the last frame with t = −1
+    # (matches no intro frame; padded labels are dropped below, and state
+    # updates past the last real frame are never read).
+    t_total = frames.shape[0]
+    steps = t_total - 1
+    chunk = max(1, min(int(cfg.pipeline.scan_chunk), max(steps, 1)))
+    pad = (-steps) % chunk
+    cur = jnp.concatenate([frames[1:], jnp.repeat(frames[-1:], pad, axis=0)])
+    prev = jnp.concatenate(
+        [frames[:-1], jnp.repeat(frames[-1:], pad, axis=0)]
+    )
+    ts = jnp.concatenate(
+        [
+            jnp.arange(1, t_total, dtype=jnp.int32),
+            jnp.full((pad,), -1, jnp.int32),
+        ]
+    )
+    n_chunks = (steps + pad) // chunk
+    h, w = frames.shape[1], frames.shape[2]
+    cur = cur.reshape(n_chunks, chunk, h, w, 3)
+    prev = prev.reshape(n_chunks, chunk, h, w, 3)
+    ts = ts.reshape(n_chunks, chunk)
+
+    def merge_body(st, ys):
+        pm, sc, em, va, fl, t = ys
         new_active = jnp.logical_and(intro_frames == t, gt_valid)
-        st, labels, _ = frame_step(
-            models, params, anchors, cfg, st, frame, prev,
-            intro=(new_active, gt_masks),
+        st, labels, _ = merge_frame(
+            st, pm, sc, em, va, fl, cfg.merge, intro=(new_active, gt_masks)
         )
         return st, labels
 
-    ts = jnp.arange(1, frames.shape[0], dtype=jnp.int32)
-    _, labels = jax.lax.scan(body, state, (frames[1:], frames[:-1], ts))
+    def chunk_body(st, xs):
+        cf, cp, cts = xs
+        pm, sc, em, va, fl = stages_batch(models, params, anchors, cfg, cf, cp)
+        st, labels = jax.lax.scan(merge_body, st, (pm, sc, em, va, fl, cts))
+        return st, labels
+
+    _, labels = jax.lax.scan(chunk_body, state, (cur, prev, ts))
+    labels = labels.reshape(n_chunks * chunk, h, w)[:steps]
 
     # Frame 0 label map from objects introduced at frame 0.
     ids = jnp.arange(1, k + 1, dtype=jnp.int32)[:, None, None]
