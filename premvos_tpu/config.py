@@ -35,6 +35,8 @@ class ProposalConfig:
     mask_roi_align_size: int = 14
     mask_resolution: int = 28
     num_classes: int = 2  # category-agnostic: object vs background
+    # frozen_bn: pretrained/finetune regime; group_norm: from-scratch training.
+    norm: str = "frozen_bn"
 
 
 @dataclass(frozen=True)
@@ -43,7 +45,10 @@ class RefineConfig:
 
     crop_size: int = 385  # reference crops 385×385 around the expanded box
     box_margin: float = 50.0  # pixels of context around the proposal box
+    # "resnet" (default, MXU-dense) or "xception65" (paper §3.2 parity).
+    backbone: str = "resnet"
     backbone_depth: int = 50
+    norm: str = "frozen_bn"
     output_stride: int = 16
     aspp_rates: tuple = (6, 12, 18)
     aspp_channels: int = 256
@@ -74,6 +79,7 @@ class ReIDConfig:
     embedding_dim: int = 128
     crop_size: int = 128
     triplet_margin: float = 0.2  # batch-hard triplet (Hermans et al.)
+    norm: str = "frozen_bn"
 
 
 @dataclass(frozen=True)

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from premvos_tpu.config import RefineConfig
-from premvos_tpu.models.resnet import FrozenBatchNorm, ResNet
+from premvos_tpu.models.resnet import ResNet, make_norm
+from premvos_tpu.models.xception import Xception65
 
 
 def _resize(x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
@@ -37,13 +38,15 @@ class ASPP(nn.Module):
     channels: int = 256
     rates: tuple = (6, 12, 18)
     dtype: Any = jnp.float32
+    norm: str = "frozen_bn"
 
     @nn.compact
     def __call__(self, x):
+        norm = make_norm(self.norm, self.dtype)
         h, w = x.shape[-3:-1]
         branches = [
             nn.relu(
-                FrozenBatchNorm(self.dtype)(
+                norm()(
                     nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype)(x)
                 )
             )
@@ -57,11 +60,11 @@ class ASPP(nn.Module):
                 use_bias=False,
                 dtype=self.dtype,
             )(x)
-            branches.append(nn.relu(FrozenBatchNorm(self.dtype)(y)))
+            branches.append(nn.relu(norm()(y)))
         # Image-level pooling branch.
         pooled = jnp.mean(x, axis=(-3, -2), keepdims=True)
         pooled = nn.relu(
-            FrozenBatchNorm(self.dtype)(
+            norm()(
                 nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype)(pooled)
             )
         )
@@ -69,7 +72,7 @@ class ASPP(nn.Module):
 
         y = jnp.concatenate(branches, axis=-1)
         y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype)(y)
-        return nn.relu(FrozenBatchNorm(self.dtype)(y))
+        return nn.relu(norm()(y))
 
 
 class DeepLabV3Plus(nn.Module):
@@ -81,24 +84,37 @@ class DeepLabV3Plus(nn.Module):
         """[N, S, S, 4] crops (RGB + coarse-mask channel) → [N, S, S] logits
         (foreground − background)."""
         n, s = crops.shape[0], crops.shape[1]
-        feats = ResNet(
-            depth=self.cfg.backbone_depth,
-            output_stride=self.cfg.output_stride,
-            dtype=self.dtype,
-            name="encoder",
-        )(crops.astype(self.dtype))
+        norm = make_norm(self.cfg.norm, self.dtype)
+        if self.cfg.backbone == "xception65":
+            # Paper-parity encoder (PReMVOS §3.2 uses Xception-65).
+            encoder = Xception65(
+                output_stride=self.cfg.output_stride,
+                dtype=self.dtype,
+                norm=self.cfg.norm,
+                name="encoder",
+            )
+        else:
+            encoder = ResNet(
+                depth=self.cfg.backbone_depth,
+                output_stride=self.cfg.output_stride,
+                dtype=self.dtype,
+                norm=self.cfg.norm,
+                name="encoder",
+            )
+        feats = encoder(crops.astype(self.dtype))
 
         y = ASPP(
             channels=self.cfg.aspp_channels,
             rates=self.cfg.aspp_rates,
             dtype=self.dtype,
+            norm=self.cfg.norm,
             name="aspp",
         )(feats["C5"])
 
         # Decoder: ×4 up, fuse with reduced C2, two 3×3 convs.
         low = feats["C2"]
         low = nn.relu(
-            FrozenBatchNorm(self.dtype)(
+            norm()(
                 nn.Conv(
                     self.cfg.low_level_channels, (1, 1), use_bias=False,
                     dtype=self.dtype, name="low_proj",
@@ -109,7 +125,7 @@ class DeepLabV3Plus(nn.Module):
         y = jnp.concatenate([y, low], axis=-1)
         for i in range(2):
             y = nn.relu(
-                FrozenBatchNorm(self.dtype)(
+                norm()(
                     nn.Conv(
                         self.cfg.decoder_channels, (3, 3), padding="SAME",
                         use_bias=False, dtype=self.dtype, name=f"dec{i}",

@@ -113,7 +113,10 @@ class MaskRCNN(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(depth=self.cfg.backbone_depth, dtype=self.dtype)
+        self.backbone = ResNet(
+            depth=self.cfg.backbone_depth, dtype=self.dtype,
+            norm=self.cfg.norm,
+        )
         self.fpn = FPN(channels=self.cfg.fpn_channels, dtype=self.dtype)
         self.rpn = RPNHead(
             num_anchors=len(self.cfg.anchor_ratios),

@@ -32,7 +32,8 @@ class ReIDNet(nn.Module):
         """[N, S, S, 3] crops → [N, E] embeddings (not L2-normalized;
         the triplet loss operates on raw Euclidean distances)."""
         feats = ResNet(
-            depth=self.cfg.backbone_depth, dtype=self.dtype, name="backbone"
+            depth=self.cfg.backbone_depth, dtype=self.dtype,
+            norm=self.cfg.norm, name="backbone",
         )(crops.astype(self.dtype))
         x = jnp.mean(feats["C5"], axis=(-3, -2))  # global average pool
         x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="fc1")(x))

@@ -57,6 +57,37 @@ class FrozenBatchNorm(nn.Module):
         return x * inv + b
 
 
+class GroupNorm32(nn.Module):
+    """GroupNorm with ≤32 groups (largest divisor of C that is ≤32).
+
+    The trainable-normalization option for from-scratch training: frozen BN
+    is right for fine-tuning pretrained weights, but in a zero-egress
+    environment training from scratch is the only route to weights, and
+    training through identity-stats BN underperforms. Batch-independent, so
+    per-video fine-tune batches stay valid too.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = 32
+        while c % g:
+            g -= 1
+        return nn.GroupNorm(num_groups=g, dtype=self.dtype, name="gn")(x)
+
+
+def make_norm(norm: str, dtype):
+    """Norm-layer factory: 'frozen_bn' (default; pretrained/finetune) or
+    'group_norm' (from-scratch training)."""
+    if norm == "frozen_bn":
+        return lambda: FrozenBatchNorm(dtype)
+    if norm == "group_norm":
+        return lambda: GroupNorm32(dtype)
+    raise ValueError(f"unknown norm {norm!r}")
+
+
 class Bottleneck(nn.Module):
     """ResNet v1.5 bottleneck (stride on the 3×3 conv)."""
 
@@ -64,14 +95,16 @@ class Bottleneck(nn.Module):
     strides: int = 1
     dilation: int = 1
     dtype: Any = jnp.float32
+    norm: str = "frozen_bn"
 
     @nn.compact
     def __call__(self, x):
         residual = x
         out_ch = self.filters * 4
+        norm = make_norm(self.norm, self.dtype)
 
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        y = FrozenBatchNorm(self.dtype)(y)
+        y = norm()(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.filters,
@@ -82,10 +115,10 @@ class Bottleneck(nn.Module):
             use_bias=False,
             dtype=self.dtype,
         )(y)
-        y = FrozenBatchNorm(self.dtype)(y)
+        y = norm()(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = FrozenBatchNorm(self.dtype)(y)
+        y = norm()(y)
 
         if residual.shape[-1] != out_ch or self.strides != 1:
             residual = nn.Conv(
@@ -96,7 +129,7 @@ class Bottleneck(nn.Module):
                 dtype=self.dtype,
                 name="proj",
             )(x)
-            residual = FrozenBatchNorm(self.dtype)(residual)
+            residual = norm()(residual)
         return nn.relu(y + residual)
 
 
@@ -112,6 +145,7 @@ class ResNet(nn.Module):
     output_stride: int = 32  # 32 for FPN, 16 dilates C5 (DeepLabv3+)
     dtype: Any = jnp.float32
     remat: bool = False
+    norm: str = "frozen_bn"
 
     @nn.compact
     def __call__(self, x):
@@ -124,7 +158,7 @@ class ResNet(nn.Module):
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=self.dtype, name="stem_conv",
         )(x)
-        x = FrozenBatchNorm(self.dtype)(x)
+        x = make_norm(self.norm, self.dtype)()(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -141,6 +175,7 @@ class ResNet(nn.Module):
                     strides=first_stride if b == 0 else 1,
                     dilation=dilation,
                     dtype=self.dtype,
+                    norm=self.norm,
                     name=f"stage{stage + 2}_block{b}",
                 )(x)
             feats[f"C{stage + 2}"] = x

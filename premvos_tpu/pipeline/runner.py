@@ -56,7 +56,12 @@ def build_models(cfg: PremvosConfig, dtype=None) -> Models:
 
 def init_params(models: Models, cfg: PremvosConfig, rng) -> dict:
     """Random-init parameter bundle (pretrained weights load via
-    utils.checkpoint / io_compat converters when available)."""
+    utils.checkpoint / io_compat converters when available).
+
+    Every init is jitted: eager flax init issues thousands of small device
+    ops, which measured ~10 min through this platform's TPU relay; one
+    compiled program per net brings it to seconds.
+    """
     p = cfg.pipeline
     h, w = p.image_height, p.image_width
     k1, k2, k3, k4 = jax.random.split(rng, 4)
@@ -66,10 +71,10 @@ def init_params(models: Models, cfg: PremvosConfig, rng) -> dict:
     pair = jnp.zeros((1, cfg.flow.infer_height, cfg.flow.infer_width, 3))
     reid_crops = jnp.zeros((1, cfg.reid.crop_size, cfg.reid.crop_size, 3))
     return {
-        "maskrcnn": models.maskrcnn.init(k1, img, anchors),
-        "refine": models.refine.init(k2, crops),
-        "flow": models.flow.init(k3, pair, pair),
-        "reid": models.reid.init(k4, reid_crops),
+        "maskrcnn": jax.jit(models.maskrcnn.init)(k1, img, anchors),
+        "refine": jax.jit(models.refine.init)(k2, crops),
+        "flow": jax.jit(models.flow.init)(k3, pair, pair),
+        "reid": jax.jit(models.reid.init)(k4, reid_crops),
     }
 
 
