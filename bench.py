@@ -1,9 +1,9 @@
 """Headline benchmark: end-to-end fused-pipeline throughput, frames/sec/chip.
 
 Runs the full PReMVOS pipeline (ResNet-101-FPN Mask R-CNN proposals →
-DeepLabv3+ refinement of 64 padded proposals → FlowNet2 → ReID embeddings →
-merge/track) on synthetic DAVIS-480p-shaped frames, one fused jitted scan,
-and prints ONE JSON line.
+DeepLabv3+ refinement of 32 padded proposals → FlowNet2 → ReID embeddings →
+merge/track) on synthetic DAVIS-480p-shaped frames — stages 1–4 batched over
+scan_chunk-frame chunks, merge scanned — and prints ONE JSON line.
 
 Baseline: the reference end-to-end rate is ~38 s/frame on a single GPU
 (≈ 0.0263 fps; BASELINE.md — includes amortized per-video fine-tuning, the

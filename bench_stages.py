@@ -1,15 +1,19 @@
-"""Per-stage benchmarks matching BASELINE.json's five benchmark configs.
+"""Per-stage device-time budget (and BASELINE.json per-stage evidence).
 
-The driver consumes bench.py (one line, full pipeline); this script prints
-one JSON line per BASELINE.json config entry for per-stage evidence:
+Methodology (see README "Timing methodology"): on this platform
+`block_until_ready` can return before execution completes and identical
+buffers get memoized, so every measurement here uses
+  * fresh inputs every run,
+  * a forced device→host transfer inside the timed region,
+  * the MEDIAN of several runs,
+  * and, for the marginal (per-frame / per-crop) figures, the SLOPE between
+    two batch sizes — (t(2B) − t(B)) / B — which cancels the ~100 ms fixed
+    per-dispatch relay overhead that makes naive microbenchmarks useless.
 
-  1. Mask R-CNN proposal generation, single DAVIS 480p frame
-  2. DeepLabv3+ refinement on a batch of box crops
-  3. FlowNet2 flow on a frame pair + mask warping (propagation score path)
-  4. ReID embeddings on proposal crops + pairwise distance matrix
-  5. full merge/track pipeline (multi-object)
-
-Fresh inputs every run (identical buffers get memoized on this platform).
+Prints one JSON line per stage with both the marginal unit time and the raw
+batch wall times, then the full-pipeline figure for cross-checking (the sum
+of stage marginals should approximate the e2e marginal; the difference is
+the merge scan + scheduling).
 """
 
 import json
@@ -26,27 +30,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, make_args, runs=3):
-    jax.block_until_ready(fn(*make_args(0)))  # compile
-    jax.block_until_ready(fn(*make_args(1)))  # flush pipelined dispatch
-    t0 = time.perf_counter()
-    for s in range(2, 2 + runs):
-        out = fn(*make_args(s))
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / runs
+def timed_med(fn, make_args, runs=5):
+    """Median wall time of fn, fresh args each run, forced host transfer."""
+    out = fn(*make_args(0))  # compile
+    np.asarray(jax.tree.leaves(out)[0])
+    times = []
+    for s in range(1, 1 + runs):
+        args = make_args(s)
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = np.asarray(jax.tree.leaves(out)[0])  # transfer forces completion
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
 
 
-def emit(name, seconds, unit_count, unit):
+def marginal(fn, make_args_b, b1, b2, runs=5):
+    """Per-unit marginal time via the two-size slope."""
+    t1 = timed_med(fn, lambda s: make_args_b(s, b1), runs)
+    t2 = timed_med(fn, lambda s: make_args_b(s, b2), runs)
+    return (t2 - t1) / (b2 - b1), t1, t2
+
+
+def emit(name, unit_seconds, unit, t1, b1, t2, b2):
     print(
         json.dumps(
             {
                 "metric": name,
-                "value": round(unit_count / seconds, 3),
+                "value": round(1.0 / unit_seconds, 3) if unit_seconds > 0 else None,
                 "unit": unit,
-                "ms_per_batch": round(seconds * 1000, 2),
+                "marginal_ms": round(unit_seconds * 1000, 3),
+                "batch_times_ms": {
+                    str(b1): round(t1 * 1000, 1),
+                    str(b2): round(t2 * 1000, 1),
+                },
             }
-        )
+        ),
+        flush=True,
     )
+    return unit_seconds
 
 
 def main():
@@ -63,47 +84,60 @@ def main():
     anchors = get_anchors(cfg)
     p = cfg.pipeline
     h, w = p.image_height, p.image_width
+    n = p.max_proposals
+    budget = {}
 
     def fresh(seed, shape, dtype=jnp.float32):
         return jnp.asarray(
             np.random.default_rng(seed).standard_normal(shape), dtype
         )
 
-    # 1. proposals
+    # 1. proposals — marginal per frame (batch 4 vs 8, the scan_chunk regime)
     f1 = jax.jit(lambda pr, x: models.maskrcnn.apply(pr, x, anchors))
-    dt = timed(f1, lambda s: (params["maskrcnn"], fresh(s, (1, h, w, 3))))
-    emit("maskrcnn_proposals_480p", dt, 1, "frames/sec")
+    m, t1, t2 = marginal(
+        f1, lambda s, b: (params["maskrcnn"], fresh(s, (b, h, w, 3))), 4, 8
+    )
+    budget["proposals"] = emit(
+        "maskrcnn_proposals_480p", m, "frames/sec (marginal)", t1, 4, t2, 8
+    )
 
-    # 2. refinement crops
-    n = p.max_proposals
+    # 2. refinement — marginal per crop (one frame = max_proposals crops)
     s_ = cfg.refine.crop_size
     f2 = jax.jit(lambda pr, x: models.refine.apply(pr, x))
-    dt = timed(f2, lambda s: (params["refine"], fresh(s, (n, s_, s_, 4))))
-    emit("deeplab_refine_crops", dt, n, "crops/sec")
+    m, t1, t2 = marginal(
+        f2, lambda s, b: (params["refine"], fresh(s, (b, s_, s_, 4))), n, 2 * n
+    )
+    budget["refine"] = emit(
+        "deeplab_refine_crops", m, "crops/sec (marginal)", t1, n, t2, 2 * n
+    ) * n  # per frame
 
-    # 3. flow + mask warp
+    # 3. flow + mask warp — marginal per pair
     fh, fw = cfg.flow.infer_height, cfg.flow.infer_width
 
     def flow_and_warp(pr, a, b, masks):
-        fl = models.flow.apply(pr, a, b)[0]
-        fl = jax.image.resize(fl, (h, w, 2), "bilinear") * jnp.array(
-            [w / fw, h / fh]
-        )
-        return warp_masks(masks, fl)
+        fl = models.flow.apply(pr, a, b)
+        fl = jax.vmap(
+            lambda f: jax.image.resize(f, (h, w, 2), "bilinear")
+            * jnp.array([w / fw, h / fh])
+        )(fl)
+        return jax.vmap(warp_masks, in_axes=(None, 0))(masks, fl)
 
     f3 = jax.jit(flow_and_warp)
-    dt = timed(
+    m, t1, t2 = marginal(
         f3,
-        lambda s: (
+        lambda s, b: (
             params["flow"],
-            fresh(s, (1, fh, fw, 3)),
-            fresh(s + 100, (1, fh, fw, 3)),
+            fresh(s, (b, fh, fw, 3)),
+            fresh(s + 100, (b, fh, fw, 3)),
             (fresh(s + 200, (p.max_objects, h, w)) > 0).astype(jnp.float32),
         ),
+        4, 8,
     )
-    emit("flownet2_pair_plus_mask_warp", dt, 1, "pairs/sec")
+    budget["flow"] = emit(
+        "flownet2_pair_plus_mask_warp", m, "pairs/sec (marginal)", t1, 4, t2, 8
+    )
 
-    # 4. reid + distance matrix
+    # 4. reid — marginal per crop
     cs = cfg.reid.crop_size
 
     def reid_and_dist(pr, crops, ref):
@@ -111,18 +145,21 @@ def main():
         return pairwise_sq_distances(ref, emb)
 
     f4 = jax.jit(reid_and_dist)
-    dt = timed(
+    m, t1, t2 = marginal(
         f4,
-        lambda s: (
+        lambda s, b: (
             params["reid"],
-            fresh(s, (n, cs, cs, 3)),
+            fresh(s, (b, cs, cs, 3)),
             fresh(s + 300, (p.max_objects, cfg.reid.embedding_dim)),
         ),
+        n, 2 * n,
     )
-    emit("reid_embeddings_plus_distances", dt, n, "crops/sec")
+    budget["reid"] = emit(
+        "reid_embeddings_plus_distances", m, "crops/sec (marginal)",
+        t1, n, t2, 2 * n,
+    ) * n  # per frame
 
-    # 5. full pipeline (same as bench.py)
-    t = 9
+    # 5. full pipeline — marginal per frame via two sequence lengths
     gt = np.zeros((p.max_objects, h, w), np.float32)
     gt[0, 100:200, 150:300] = 1.0
     gt[1, 250:350, 500:650] = 1.0
@@ -131,16 +168,34 @@ def main():
     def full(frames):
         return run_sequence(models, params, cfg, frames, gt, jnp.int32(2))
 
-    dt = timed(
-        full,
-        lambda s: (
+    def mk(s, t):
+        return (
             jnp.asarray(
                 np.random.default_rng(s).integers(0, 255, (t, h, w, 3)),
                 jnp.uint8,
             ),
+        )
+
+    m, t1, t2 = marginal(full, mk, 17, 33)
+    emit("full_pipeline_e2e", m, "frames/sec (marginal)", t1, 17, t2, 33)
+
+    stage_sum = sum(budget.values())
+    print(
+        json.dumps(
+            {
+                "metric": "stage_budget_summary",
+                "stages_ms_per_frame": {
+                    k: round(v * 1000, 2) for k, v in budget.items()
+                },
+                "stage_sum_ms_per_frame": round(stage_sum * 1000, 2),
+                "e2e_marginal_ms_per_frame": round(m * 1000, 2),
+                "residual_ms_per_frame_merge_plus_sched": round(
+                    (m - stage_sum) * 1000, 2
+                ),
+            }
         ),
+        flush=True,
     )
-    emit("full_merge_track_pipeline", dt, t - 1, "frames/sec")
 
 
 if __name__ == "__main__":

@@ -63,21 +63,18 @@ def multilevel_roi_align(
 def multilevel_roi_align_auto(
     feats: dict, boxes: jnp.ndarray, output_size: int, sampling_ratio: int = 2
 ) -> jnp.ndarray:
-    """Dispatching multilevel align: the fused Pallas kernel on TPU (computes
-    each RoI only on its assigned level), XLA 4-level path elsewhere.
+    """Dispatching multilevel align: the level-sorted fused Pallas kernel on
+    TPU (computes each RoI only on its assigned level), XLA 4-level path on
+    CPU (or with PREMVOS_FUSED_ALIGN=0 as a kill switch).
 
-    The kernel's scalar-prefetch operands can't batch, so a custom_vmap rule
-    falls back to the XLA path whenever this is traced under vmap (e.g. the
-    sequence-sharded runner vmaps whole sequences).
+    The kernel's scalar-prefetch operands can't batch natively, so a
+    custom_vmap rule lowers a batched call (the chunked runner vmaps frames)
+    to `lax.map` over the kernel — each image sorts its own RoIs by level.
     """
     import os
 
-    # Default OFF: at full maskrcnn scale the fused kernel measured ~10×
-    # slower than the XLA 4-level path (predicated per-level blocks execute
-    # all four levels' latency serially per RoI block) and showed a numerical
-    # regression under bf16 — round-2 item (see kernel docstring).
     use_pallas = (
-        os.environ.get("PREMVOS_FUSED_ALIGN", "0") == "1"
+        os.environ.get("PREMVOS_FUSED_ALIGN", "1") == "1"
         and jax.default_backend() != "cpu"
     )
     if not use_pallas:
@@ -95,14 +92,24 @@ def multilevel_roi_align_auto(
 
     @fused.def_vmap
     def _rule(axis_size, in_batched, p2, p3, p4, p5, b):
-        axes = [0 if bt else None for bt in in_batched]
-        out = jax.vmap(
-            lambda a2, a3, a4, a5, bb: multilevel_roi_align(
-                {"P2": a2, "P3": a3, "P4": a4, "P5": a5}, bb,
-                output_size, sampling_ratio,
+        del axis_size
+        if not all(in_batched):
+            # Mixed batching (shouldn't occur in-repo): XLA fallback.
+            axes = [0 if bt else None for bt in in_batched]
+            out = jax.vmap(
+                lambda a2, a3, a4, a5, bb: multilevel_roi_align(
+                    {"P2": a2, "P3": a3, "P4": a4, "P5": a5}, bb,
+                    output_size, sampling_ratio,
+                ),
+                in_axes=axes,
+            )(p2, p3, p4, p5, b)
+            return out, True
+        out = jax.lax.map(
+            lambda xs: multilevel_roi_align_pallas(
+                *xs[:4], xs[4], roi_levels(xs[4]), output_size, sampling_ratio
             ),
-            in_axes=axes,
-        )(p2, p3, p4, p5, b)
+            (p2, p3, p4, p5, b),
+        )
         return out, True
 
     return fused(feats["P2"], feats["P3"], feats["P4"], feats["P5"], boxes)

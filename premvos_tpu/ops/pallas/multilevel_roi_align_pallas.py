@@ -1,29 +1,31 @@
-"""Pallas TPU kernel: fused multilevel (FPN) RoIAlign.
+"""Pallas TPU kernel: fused multilevel (FPN) RoIAlign, level-sorted.
 
 The XLA path (models.maskrcnn.multilevel_roi_align) computes RoIAlign on ALL
 four pyramid levels and one-hot-selects per RoI — 4× the needed FLOPs, the
-standard static-shape trick. This kernel keeps all four level slabs resident
-in VMEM per channel block and computes each RoI ONLY on its assigned level
-via a `lax.switch`, eliminating the 4× waste while staying fully static.
+standard static-shape trick. This kernel computes each RoI only on its
+assigned level. Replaces `tf.image.crop_and_resize` + FPN level routing
+inside the reference's Mask R-CNN (SURVEY.md C9, expected
+`MaskRCNN/model.py::roi_align` — unverified, mount empty).
 
-Grid = (channel blocks, RoI blocks); boxes and per-RoI level indices arrive
-via scalar prefetch; per-RoI interpolation matrices are built in-kernel from
-iota comparisons and applied as two MXU dots (same math as
-ops.roi_align.roi_align_matmul).
+Round-1 history (see git): a per-RoI `lax.switch` version spilled 121 MB of
+vregs inside the full Mask R-CNN program, and a per-RoI predicated version
+executed all four levels' latency serially per RoI (~10× in situ). Round-2
+design — the kernel's own STATUS plan — removes per-RoI branching entirely:
 
-Parity: models.maskrcnn.multilevel_roi_align (fp32 in interpret mode; on TPU
-within default-matmul bf16 rounding — measured 1.1e-2 abs on |mean|≈0.17).
+  * RoIs are SORTED BY LEVEL outside the kernel (argsort + inverse gather
+    after), so each RoI block is level-homogeneous except at ≤3 seams;
+  * the kernel processes a whole RoI block per level with ONE pair of
+    batched MXU dots ([rb·ps, H] × [H, W·CB] — M=rb·ps instead of ps, so
+    the systolic array is actually occupied), rows of off-level RoIs zeroed;
+  * levels with zero RoIs in the block are skipped via a scalar-prefetched
+    [n_rb, 4] count table (`@pl.when(count > 0)`) — with sorted input at
+    most 2 of 4 level bodies run per block, usually 1;
+  * the big [rb·ps, W·CB] intermediate lives in a VMEM scratch (never in
+    vregs); per-level contributions accumulate into the resident out block.
 
-STATUS (end of round 1): standalone fp32 measurement beat the XLA path
-(7.28 ms vs 9.04 ms, 256 RoIs, full FPN geometry, lax.switch version), but
-the switch version spilled 121 MB of vregs inside the full maskrcnn program
-(VMEM OOM). The predicated-@pl.when rewrite fits memory but executes every
-level's block serially per RoI (~10× slower in situ) and showed a bf16
-numerical regression (detections vanished). Wiring is therefore gated OFF
-behind PREMVOS_FUSED_ALIGN=1 (models.maskrcnn.multilevel_roi_align_auto);
-the XLA 4-level path remains production. Round-2 plan: sort RoIs by level
-outside the kernel and use a per-level grid partition (no per-RoI branch at
-all) with a native batch dimension.
+Parity: models.maskrcnn.multilevel_roi_align (exact in fp32 interpret mode;
+on TPU within default-matmul bf16 rounding). See
+tests/test_pallas_multilevel.py.
 """
 
 from __future__ import annotations
@@ -41,57 +43,92 @@ from premvos_tpu.ops.pallas.roi_align_pallas import _interp_rows
 STRIDES = (4, 8, 16, 32)
 
 
-def _kernel(boxes_ref, levels_ref, f2, f3, f4, f5, out_ref, tmp_ref,
-            *, rb, p, s):
+def _kernel(boxes_ref, levels_ref, counts_ref, f2, f3, f4, f5, out_ref,
+            tmp_ref, *, rb, p, s):
     i = pl.program_id(1)
     ps = p * s
     feat_refs = (f2, f3, f4, f5)
     cb = f2.shape[-1]
+
+    out_ref[...] = jnp.zeros_like(out_ref)
 
     grid_pts = (
         jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0).astype(jnp.float32)[:, 0]
         + 0.5
     ) / ps
 
-    for r in range(rb):
-        idx = i * rb + r
-        lvl = levels_ref[idx]
+    for li, (fref, stride) in enumerate(zip(feat_refs, STRIDES)):
 
-        # Predicated per-level blocks (NOT lax.switch: a switch makes Mosaic
-        # hold every branch's [ps, W·CB] intermediate in vregs at once —
-        # observed 121 MB of spill slots). The intermediate round-trips
-        # through a VMEM scratch instead.
-        for li, (fref, stride) in enumerate(zip(feat_refs, STRIDES)):
+        @pl.when(counts_ref[i, li] > 0)
+        def _(fref=fref, stride=stride, li=li):
+            h, w = fref.shape[0], fref.shape[1]
+            scale = 1.0 / stride
 
-            @pl.when(lvl == li + 2)
-            def _(fref=fref, stride=stride):
-                feat = fref[:]
-                h, w = feat.shape[0], feat.shape[1]
-                scale = 1.0 / stride
+            # Per-RoI sample coordinates and the off-level row mask, stacked
+            # into one [rb·ps] batch (rb is small and static; this is trace-
+            # time unrolling of scalar reads, not runtime branching).
+            ys_rows, xs_rows, mask_rows = [], [], []
+            for r in range(rb):
+                idx = i * rb + r
+                on = (levels_ref[idx] == li + 2).astype(jnp.float32)
                 x1 = boxes_ref[idx, 0] * scale - 0.5
                 y1 = boxes_ref[idx, 1] * scale - 0.5
                 x2 = boxes_ref[idx, 2] * scale - 0.5
                 y2 = boxes_ref[idx, 3] * scale - 0.5
                 bw = jnp.maximum(x2 - x1, 1e-6)
                 bh = jnp.maximum(y2 - y1, 1e-6)
-                ys = y1 + grid_pts * bh
-                xs = x1 + grid_pts * bw
-                # First (big) dot in the feature dtype on the MXU; second dot
-                # is tiny and runs fully fp32 against the f32 scratch.
-                wy = _interp_rows(ys, h).astype(feat.dtype)  # [ps, H]
-                wx = _interp_rows(xs, w)  # [ps, W] f32
-                tmp_ref[:, :w, :] = jax.lax.dot_general(
-                    wy, feat.reshape(h, w * cb), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).reshape(ps, w, cb)
-                out = jax.lax.dot_general(
-                    wx, tmp_ref[:, :w, :], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [ps_x, ps_y, CB]
-                pooled_full = jnp.transpose(out, (1, 0, 2))
-                out_ref[r] = (
-                    pooled_full.reshape(p, s, p, s, cb).mean(axis=(1, 3))
-                ).astype(out_ref.dtype)
+                ys_rows.append(y1 + grid_pts * bh)
+                xs_rows.append(x1 + grid_pts * bw)
+                mask_rows.append(jnp.full((ps,), on))
+            ys_all = jnp.concatenate(ys_rows)  # [rb·ps]
+            xs_all = jnp.concatenate(xs_rows)
+            mask = jnp.concatenate(mask_rows)[:, None]  # [rb·ps, 1]
+
+            wy = (_interp_rows(ys_all, h) * mask).astype(fref.dtype)
+            wx = _interp_rows(xs_all, w)  # fp32; wy carries the mask
+
+            # Big dot on the MXU, result straight into VMEM scratch (never
+            # materialized in vregs): [rb·ps, H] × [H, W·CB] → [rb·ps, W·CB].
+            tmp_ref[:, : w * cb] = jax.lax.dot_general(
+                wy, fref[:].reshape(h, w * cb), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            # Small batched dot: contract W per RoI.
+            # lhs [rb, ps_x, W] · rhs [rb, ps_y, W, CB] → [rb, ps_x, ps_y, CB]
+            out = jax.lax.dot_general(
+                wx.reshape(rb, ps, w),
+                tmp_ref[:, : w * cb].reshape(rb, ps, w, cb),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            out = jnp.transpose(out, (0, 2, 1, 3))  # [rb, ps_y, ps_x, CB]
+            pooled = out.reshape(rb, p, s, p, s, cb).mean(axis=(2, 4))
+            out_ref[...] = out_ref[...] + pooled.astype(out_ref.dtype)
+
+
+def _sort_by_level(boxes, levels, rb):
+    """Pad to an rb multiple and stable-sort by level. Returns
+    (sorted boxes, sorted levels, [n_rb, 4] per-block level counts,
+    inverse permutation for the first N outputs)."""
+    n = boxes.shape[0]
+    n_pad = (-n) % rb
+    boxes_p = jnp.pad(boxes.astype(jnp.float32), ((0, n_pad), (0, 0)))
+    # Padding sorts to the end (level 6 > any real level) and its count
+    # lands outside the 4 tracked levels, so padded RoIs are never computed.
+    levels_p = jnp.concatenate(
+        [levels.astype(jnp.int32), jnp.full((n_pad,), 6, jnp.int32)]
+    )
+    order = jnp.argsort(levels_p, stable=True)
+    inv = jnp.argsort(order, stable=True)[:n]
+    sb = boxes_p[order]
+    sl = levels_p[order]
+    n_rb = (n + n_pad) // rb
+    blk = sl.reshape(n_rb, rb)
+    counts = jnp.stack(
+        [jnp.sum(blk == l, axis=1) for l in (2, 3, 4, 5)], axis=1
+    ).astype(jnp.int32)
+    return sb, sl, counts, inv
 
 
 @functools.partial(
@@ -113,31 +150,34 @@ def multilevel_roi_align_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """P2..P5 [Hi, Wi, C] + boxes [N, 4] (image coords) + levels [N] ∈ 2..5
-    → [N, P, P, C]."""
+    → [N, P, P, C] (each RoI aligned only on its assigned level)."""
     c = p2.shape[-1]
     n = boxes.shape[0]
     p, s = output_size, sampling_ratio
     cb = min(channel_block, c)
     rb = min(roi_block, n)
-    n_pad = (-n) % rb
     c_pad = (-c) % cb
+
+    sb, sl, counts, inv = _sort_by_level(boxes, levels, rb)
+    n_rb = sb.shape[0] // rb
 
     feats = [
         jnp.pad(f, ((0, 0), (0, 0), (0, c_pad))) for f in (p2, p3, p4, p5)
     ]
-    boxes_p = jnp.pad(boxes.astype(jnp.float32), ((0, n_pad), (0, 0)))
-    levels_p = jnp.pad(levels.astype(jnp.int32), (0, n_pad))
     n_cb = (c + c_pad) // cb
-    n_rb = (n + n_pad) // rb
 
-    # Keep the budget tight: v5e has 128M VMEM for the WHOLE program and the
-    # detect path runs this kernel twice amid other kernels. Slabs are
-    # double-buffered; working set (interp matrices, tmp, out window) ≤ ~4M.
+    # VMEM: 4 level slabs (double-buffered by the pipeline; index maps are
+    # constant in the RoI dimension so they stay resident across RoI blocks)
+    # + the fp32 [rb·ps, Wmax·CB] scratch + the out window.
     slab = sum(f.shape[0] * f.shape[1] for f in feats) * cb * feats[0].dtype.itemsize
-    vmem_budget = min(2 * slab + 8 * 1024 * 1024, 100 * 1024 * 1024)
+    wmax = max(f.shape[1] for f in feats)
+    scratch_bytes = rb * p * s * wmax * cb * 4
+    vmem_budget = min(
+        2 * slab + scratch_bytes + 16 * 1024 * 1024, 120 * 1024 * 1024
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # boxes, levels
+        num_scalar_prefetch=3,  # boxes, levels, per-block level counts
         grid=(n_cb, n_rb),
         in_specs=[
             pl.BlockSpec(
@@ -151,18 +191,14 @@ def multilevel_roi_align_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            # Shared intermediate (sized for the widest level, P2): keeps the
-            # [ps, W·CB] product in VMEM instead of vregs.
-            pltpu.VMEM((p * s, feats[0].shape[1], cb), jnp.float32),
+            pltpu.VMEM((rb * p * s, wmax * cb), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_kernel, rb=rb, p=p, s=s),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n + n_pad, p, p, c + c_pad), p2.dtype
-        ),
+        out_shape=jax.ShapeDtypeStruct((sb.shape[0], p, p, c + c_pad), p2.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
         interpret=interpret,
-    )(boxes_p, levels_p, *feats)
-    return out[:n, :, :, :c]
+    )(sb, sl, counts, *feats)
+    return out[inv, :, :, :c]

@@ -219,6 +219,114 @@ def stages_batch(models, params, anchors, cfg, frames_chunk, prev_chunk):
 
 
 @partial(jax.jit, static_argnames=("models", "cfg"))
+def precompute_sequence(
+    models: Models,
+    params: dict,
+    cfg: PremvosConfig,
+    frames: jnp.ndarray,
+    gt_masks: jnp.ndarray,
+    num_objects,
+    intro_frames: jnp.ndarray | None = None,
+):
+    """Stages 1–4 outputs for a whole sequence, plus GT reference embeddings.
+
+    Nothing here depends on MergeConfig, so the merge-weight tuning harness
+    (scripts/tune_merge.py) computes this once per sequence and replays only
+    the cheap merge scan per candidate. Returns a dict of [T−1, ...] arrays
+    (steps 1..T−1) + gt_emb/gt_valid.
+    """
+    anchors = get_anchors(cfg)
+    frames = to_unit(frames)
+    k = gt_masks.shape[0]
+    gt_valid = jnp.arange(k) < num_objects
+    if intro_frames is None:
+        intro_frames = jnp.zeros((k,), jnp.int32)
+
+    gt_boxes = boxes_from_masks(gt_masks)
+    intro_imgs = normalize(frames[intro_frames])
+    gt_emb = jax.vmap(
+        lambda im, b, v: run_reid(
+            models.reid, params["reid"], im, b[None], v[None],
+            cfg.reid.crop_size,
+        )[0]
+    )(intro_imgs, gt_boxes, gt_valid)
+
+    steps = frames.shape[0] - 1
+    chunk = max(1, min(int(cfg.pipeline.scan_chunk), max(steps, 1)))
+    pad = (-steps) % chunk
+    cur = jnp.concatenate([frames[1:], jnp.repeat(frames[-1:], pad, axis=0)])
+    prev = jnp.concatenate([frames[:-1], jnp.repeat(frames[-1:], pad, axis=0)])
+    n_chunks = (steps + pad) // chunk
+    h, w = frames.shape[1], frames.shape[2]
+
+    def chunk_body(_, xs):
+        cf, cp = xs
+        return None, stages_batch(models, params, anchors, cfg, cf, cp)
+
+    _, outs = jax.lax.scan(
+        chunk_body,
+        None,
+        (
+            cur.reshape(n_chunks, chunk, h, w, 3),
+            prev.reshape(n_chunks, chunk, h, w, 3),
+        ),
+    )
+    pm, sc, em, va, fl = jax.tree.map(
+        lambda x: x.reshape(-1, *x.shape[2:])[:steps], outs
+    )
+    return {
+        "prop_masks": pm, "scores": sc, "emb": em, "valid": va, "flow": fl,
+        "gt_emb": gt_emb, "gt_valid": gt_valid,
+    }
+
+
+@jax.jit
+def merge_labels_from_precomputed(
+    pre: dict,
+    gt_masks: jnp.ndarray,
+    num_objects,
+    weights: jnp.ndarray,
+):
+    """Replay ONLY the merge scan over precomputed stage outputs.
+
+    weights: [6] array — (w_objectness, w_reid, w_warp, w_overlap,
+    reid_sigma, new_object_score_floor). Traced, so a single compilation
+    serves every tuning candidate. Returns labels [T, H, W] int32 (frame 0 =
+    the annotation, as in run_sequence; DAVIS-protocol intro at frame 0).
+    """
+    from premvos_tpu.config import MergeConfig
+
+    cfg_m = MergeConfig(
+        w_objectness=weights[0],
+        w_reid=weights[1],
+        w_warp=weights[2],
+        w_overlap=weights[3],
+        reid_sigma=weights[4],
+        new_object_score_floor=weights[5],
+    )
+    state = init_state(gt_masks, pre["gt_emb"], num_objects)
+
+    def body(st, ys):
+        pm, sc, em, va, fl = ys
+        st, labels, _ = merge_frame(st, pm, sc, em, va, fl, cfg_m)
+        return st, labels
+
+    _, labels = jax.lax.scan(
+        body,
+        state,
+        (pre["prop_masks"], pre["scores"], pre["emb"], pre["valid"], pre["flow"]),
+    )
+    k = gt_masks.shape[0]
+    ids = jnp.arange(1, k + 1, dtype=jnp.int32)[:, None, None]
+    gt_valid = pre["gt_valid"]
+    lab0 = jnp.max(
+        jnp.where(jnp.logical_and(gt_masks > 0.5, gt_valid[:, None, None]), ids, 0),
+        axis=0,
+    )
+    return jnp.concatenate([lab0[None], labels], axis=0)
+
+
+@partial(jax.jit, static_argnames=("models", "cfg"))
 def run_sequence(
     models: Models,
     params: dict,

@@ -1,0 +1,188 @@
+"""Merge-weight tuning harness: random search over MergeConfig vs J&F.
+
+The reference ships hand-tuned merge score weights (SURVEY.md C5 — merge
+script constants, unverified); this repo defaults them to 1.0. This harness
+searches (w_objectness, w_reid, w_warp, w_overlap, reid_sigma,
+new_object_score_floor) against J&F on a validation split.
+
+Cost structure: stages 1–4 (proposals/refine/flow/ReID) do not depend on
+merge weights, so they are precomputed ONCE per sequence
+(pipeline.runner.precompute_sequence) and every candidate replays only the
+merge scan (merge_labels_from_precomputed — weights are traced, one compile
+total).
+
+Usage:
+  python scripts/tune_merge.py --synthetic --trials 64        # self-contained
+  python scripts/tune_merge.py --data /path/DAVIS --trials 256 \
+      --checkpoint ckpt_dir --out configs/merge_tuned.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sample_weights(rng: np.random.Generator) -> np.ndarray:
+    """Log-uniform weights, uniform score floor."""
+    w = np.exp(rng.uniform(np.log(0.2), np.log(3.0), size=4))
+    sigma = np.exp(rng.uniform(np.log(0.3), np.log(3.0)))
+    floor = rng.uniform(0.0, 1.5)
+    return np.array([*w, sigma, floor], np.float32)
+
+
+DEFAULT_WEIGHTS = np.array([1.0, 1.0, 1.0, 1.0, 1.0, 0.0], np.float32)
+WEIGHT_NAMES = (
+    "w_objectness", "w_reid", "w_warp", "w_overlap", "reid_sigma",
+    "new_object_score_floor",
+)
+
+
+def evaluate_candidate(weights, precomputed, eval_fn):
+    """Mean J&F of one weight vector across all precomputed sequences."""
+    from premvos_tpu.eval.davis_eval import evaluate_dataset, evaluate_sequence
+    from premvos_tpu.pipeline.runner import merge_labels_from_precomputed
+
+    results = []
+    w = jnp.asarray(weights)
+    for pre, gt_masks, num_objects, gt_labels in precomputed:
+        labels = np.asarray(
+            merge_labels_from_precomputed(pre, gt_masks, num_objects, w)
+        )
+        labels = eval_fn(labels)
+        results.append(evaluate_sequence(labels, gt_labels, int(num_objects)))
+    return evaluate_dataset(results)["J&F"], results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", help="DAVIS root (JPEGImages/Annotations)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="tune on generated moving-squares sequences")
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--trials", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--config", help="JSON config preset")
+    ap.add_argument("--checkpoint", help="orbax checkpoint dir (else random)")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--max-seqs", type=int, default=None)
+    ap.add_argument("--out", default="configs/merge_tuned.json")
+    args = ap.parse_args()
+
+    from premvos_tpu.config import PremvosConfig, load_config
+    from premvos_tpu.data.davis import DavisDataset, make_synthetic_davis
+    from premvos_tpu.pipeline.runner import (
+        build_models, init_params, precompute_sequence,
+    )
+
+    if args.config:
+        cfg = load_config(args.config)
+    elif args.synthetic:
+        # Small nets + canvas so the harness runs anywhere (incl. CPU CI).
+        import dataclasses
+
+        from premvos_tpu.config import (
+            FlowConfig, PipelineConfig, ProposalConfig, RefineConfig,
+            ReIDConfig,
+        )
+
+        cfg = PremvosConfig(
+            proposal=ProposalConfig(
+                backbone_depth=26, fpn_channels=32, rpn_pre_nms_topk=32,
+                rpn_post_nms_topk=8, detections_per_frame=4,
+            ),
+            refine=RefineConfig(crop_size=33, backbone_depth=26),
+            flow=FlowConfig(variant="flownetc", max_displacement=4,
+                            infer_height=64, infer_width=64),
+            reid=ReIDConfig(backbone_depth=26, embedding_dim=8, crop_size=32),
+            pipeline=PipelineConfig(image_height=64, image_width=96,
+                                    max_objects=2, max_proposals=4,
+                                    dtype="float32", scan_chunk=4),
+        )
+    else:
+        cfg = PremvosConfig()
+
+    if args.synthetic:
+        root = tempfile.mkdtemp(prefix="tune_merge_synth_")
+        make_synthetic_davis(root, sequences=("seq_a", "seq_b"), t=6,
+                             hw=(64, 96), num_objects=2)
+        args.data = root
+    if not args.data:
+        ap.error("--data or --synthetic required")
+
+    ds = DavisDataset(args.data, split=args.split)
+    models = build_models(cfg)
+    params = init_params(models, cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        from premvos_tpu.utils.checkpoint import load_params
+
+        params = load_params(args.checkpoint, like=params)
+
+    p = cfg.pipeline
+    sequences = ds.sequences[: args.max_seqs]
+    precomputed = []
+    for seq in sequences:
+        data = ds.load_sequence(
+            seq, p.image_height, p.image_width, p.max_objects,
+            max_frames=args.max_frames,
+        )
+        frames = jnp.asarray(data["frames"])
+        gt_masks = jnp.asarray(data["gt_masks"])
+        n_obj = jnp.int32(data["num_objects"])
+        pre = precompute_sequence(models, params, cfg, frames, gt_masks, n_obj)
+        pre = jax.tree.map(lambda x: x, pre)  # keep on device
+        # Crop eval back to the original resolution.
+        oh, ow = data["orig_hw"]
+        precomputed.append(
+            (pre, gt_masks, n_obj, np.asarray(data["gt_labels"])[:, :oh, :ow])
+        )
+        print(f"[precompute] {seq}: {frames.shape[0]} frames", flush=True)
+
+    def eval_crop(labels):
+        return labels[:, : precomputed[0][3].shape[1],
+                      : precomputed[0][3].shape[2]]
+
+    rng = np.random.default_rng(args.seed)
+    best_w, best_score = DEFAULT_WEIGHTS, -1.0
+    baseline, _ = evaluate_candidate(DEFAULT_WEIGHTS, precomputed, eval_crop)
+    print(f"[tune] baseline (all-1.0) J&F = {baseline:.4f}", flush=True)
+    best_score = baseline
+    for t in range(args.trials):
+        w = sample_weights(rng)
+        score, _ = evaluate_candidate(w, precomputed, eval_crop)
+        mark = ""
+        if score > best_score:
+            best_w, best_score, mark = w, score, "  ← best"
+        print(f"[tune] {t + 1}/{args.trials} J&F={score:.4f} "
+              f"w={np.round(w, 3).tolist()}{mark}", flush=True)
+
+    out = {
+        "merge": {
+            **{k: float(v) for k, v in zip(WEIGHT_NAMES, best_w)},
+        },
+        "_tuning": {
+            "J&F": best_score,
+            "baseline_J&F": baseline,
+            "trials": args.trials,
+            "split": args.split,
+            "synthetic": bool(args.synthetic),
+            "sequences": list(sequences),
+        },
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"[tune] best J&F = {best_score:.4f} → {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,36 @@ def test_fused_multilevel_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_multilevel_random_mix_unsorted(rng):
+    """Shuffled levels + a partial tail block exercise the level sort, the
+    per-block count skip, and the inverse permutation."""
+    c = 24
+    feats = {
+        "P2": jnp.array(rng.standard_normal((32, 48, c)), jnp.float32),
+        "P3": jnp.array(rng.standard_normal((16, 24, c)), jnp.float32),
+        "P4": jnp.array(rng.standard_normal((8, 12, c)), jnp.float32),
+        "P5": jnp.array(rng.standard_normal((4, 6, c)), jnp.float32),
+    }
+    n = 13  # not a multiple of roi_block=4 → padded tail block
+    sizes = rng.uniform(8.0, 400.0, (n,))
+    cx = rng.uniform(0, 190, (n,))
+    cy = rng.uniform(0, 120, (n,))
+    boxes = jnp.array(
+        np.stack([cx - sizes / 2, cy - sizes / 2, cx + sizes / 2, cy + sizes / 2], 1),
+        jnp.float32,
+    )
+    lv = roi_levels(boxes)
+    assert len(np.unique(np.asarray(lv))) >= 3  # a real level mix
+    want = np.asarray(multilevel_roi_align(feats, boxes, 7, 2))
+    got = np.asarray(
+        multilevel_roi_align_pallas(
+            feats["P2"], feats["P3"], feats["P4"], feats["P5"],
+            boxes, lv, 7, 2, roi_block=4, channel_block=8, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_multilevel_degenerate(rng):
     c = 8
     feats = [
