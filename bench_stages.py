@@ -197,6 +197,57 @@ def main():
         flush=True,
     )
 
+    # 6. per-video fine-tuning, amortized — the baseline's 38 s/frame
+    # INCLUDES this (BASELINE.md), so the honest comparison pair is
+    # (inference-only fps, fps incl. amortized fine-tune).
+    import dataclasses
+
+    from premvos_tpu.finetune.finetune import finetune_proposals, finetune_refine
+    from premvos_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1)
+    r = np.random.default_rng(0)
+    frame0 = r.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    lab0 = np.zeros((h, w), np.int32)
+    lab0[100:200, 150:300] = 1
+    lab0[250:350, 500:650] = 2
+
+    def ft_time(steps):
+        ft = dataclasses.replace(
+            cfg.finetune, steps=steps, num_augmentations=64
+        )
+        t0 = time.perf_counter()
+        finetune_refine(models.refine, params["refine"], frame0, lab0, mesh,
+                        cfg.refine, ft)
+        finetune_proposals(models.maskrcnn, params["maskrcnn"], anchors,
+                           cfg.proposal, frame0, lab0, mesh, ft,
+                           max_objects=p.max_objects)
+        return time.perf_counter() - t0
+
+    ft_time(2)  # compile
+    t_a, t_b = ft_time(4), ft_time(12)
+    per_step = (t_b - t_a) / 8
+    fixed = max(t_a - 4 * per_step, 0.0)  # aug-pool generation + dispatch
+    total_ft = fixed + per_step * 2 * cfg.finetune.steps  # both nets, full steps
+    frames_per_video = 70  # DAVIS-2017 val mean sequence length ≈ 70
+    ft_per_frame = total_ft / frames_per_video
+    fps_incl = 1.0 / (m + ft_per_frame)
+    print(
+        json.dumps(
+            {
+                "metric": "finetune_amortized",
+                "per_step_s": round(per_step, 4),
+                "fixed_s_aug_pool": round(fixed, 2),
+                "total_finetune_s_per_video": round(total_ft, 1),
+                "amortized_s_per_frame": round(ft_per_frame, 3),
+                "fps_inference_only": round(1.0 / m, 3),
+                "fps_incl_finetune": round(fps_incl, 3),
+                "vs_baseline_incl_finetune": round(fps_incl * 38.0, 1),
+            }
+        ),
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -15,6 +15,9 @@ from premvos_tpu.data.davis import make_synthetic_davis
 from premvos_tpu.data.palette import load_indexed_png
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def tiny_cfg_path(tmp_path_factory):
     from tests.test_pipeline import TINY
@@ -72,7 +75,7 @@ def test_finetune_refine_decreases_loss(tmp_path):
     from premvos_tpu.parallel.mesh import make_mesh
 
     rng = np.random.default_rng(0)
-    cfg = RefineConfig(crop_size=33, backbone_depth=50, box_margin=6.0)
+    cfg = RefineConfig(crop_size=33, backbone_depth=26, box_margin=6.0)
     model = DeepLabV3Plus(cfg=cfg)
     params = model.init(
         jax.random.PRNGKey(0), np.zeros((1, 33, 33, 4), np.float32)

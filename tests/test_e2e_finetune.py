@@ -1,9 +1,13 @@
 """CLI --finetune path: per-video fine-tune of BOTH nets, then track."""
 
+import pytest
 import dataclasses
 
 from premvos_tpu.config import FinetuneConfig, save_config
 from premvos_tpu.data.davis import make_synthetic_davis
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_run_davis_with_finetune(tmp_path):

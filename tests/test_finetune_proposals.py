@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,9 @@ from premvos_tpu.models.anchors import pyramid_anchors
 from premvos_tpu.models.maskrcnn import MaskRCNN
 from premvos_tpu.parallel.mesh import make_mesh
 from tests.test_maskrcnn import TINY
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_labels_to_boxes_masks():

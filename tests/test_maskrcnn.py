@@ -9,7 +9,7 @@ from premvos_tpu.models.fpn import FPN_LEVELS
 from premvos_tpu.models.maskrcnn import MaskRCNN, multilevel_roi_align, roi_levels
 
 TINY = ProposalConfig(
-    backbone_depth=50,
+    backbone_depth=26,
     fpn_channels=64,
     rpn_pre_nms_topk=64,
     rpn_post_nms_topk=16,

@@ -27,7 +27,7 @@ def test_resnet_dilated_os16():
 
 
 def test_deeplab_refine_shapes(rng):
-    cfg = RefineConfig(crop_size=65, backbone_depth=50)
+    cfg = RefineConfig(crop_size=65, backbone_depth=26)
     model = DeepLabV3Plus(cfg=cfg)
     crops = jnp.array(rng.standard_normal((3, 65, 65, 4)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), crops)
@@ -49,7 +49,7 @@ def test_flownet_variants(rng, variant):
 
 
 def test_reid_embeddings(rng):
-    cfg = ReIDConfig(backbone_depth=50, embedding_dim=16, crop_size=32)
+    cfg = ReIDConfig(backbone_depth=26, embedding_dim=16, crop_size=32)
     model = ReIDNet(cfg=cfg)
     crops = jnp.array(rng.standard_normal((5, 32, 32, 3)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), crops)

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import numpy as np
 
@@ -7,8 +8,11 @@ from premvos_tpu.models.deeplab import DeepLabV3Plus
 from premvos_tpu.parallel.mesh import make_mesh
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_video_parallel_finetune(rng):
-    cfg = RefineConfig(crop_size=33, backbone_depth=50, box_margin=6.0)
+    cfg = RefineConfig(crop_size=33, backbone_depth=26, box_margin=6.0)
     model = DeepLabV3Plus(cfg=cfg)
     params = model.init(
         jax.random.PRNGKey(0), np.zeros((1, 33, 33, 4), np.float32)

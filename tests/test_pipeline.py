@@ -28,17 +28,17 @@ from premvos_tpu.pipeline.runner import (
 
 TINY = PremvosConfig(
     proposal=ProposalConfig(
-        backbone_depth=50,
+        backbone_depth=26,
         fpn_channels=32,
         rpn_pre_nms_topk=32,
         rpn_post_nms_topk=8,
         detections_per_frame=4,
     ),
-    refine=RefineConfig(crop_size=33, backbone_depth=50),
+    refine=RefineConfig(crop_size=33, backbone_depth=26),
     flow=FlowConfig(
         variant="flownetc", max_displacement=4, infer_height=64, infer_width=64
     ),
-    reid=ReIDConfig(backbone_depth=50, embedding_dim=8, crop_size=32),
+    reid=ReIDConfig(backbone_depth=26, embedding_dim=8, crop_size=32),
     pipeline=PipelineConfig(
         image_height=64, image_width=64, max_objects=2, max_proposals=4,
         dtype="float32",

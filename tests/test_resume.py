@@ -1,7 +1,11 @@
 """Sequence-level resume: completed sequences are skipped on rerun."""
 
+import pytest
 from premvos_tpu.data.davis import make_synthetic_davis
 from tests.test_e2e import tiny_cfg_path  # noqa: F401 (fixture)
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_run_davis_resume(tmp_path, tiny_cfg_path):

@@ -15,6 +15,9 @@ from premvos_tpu.data.palette import load_indexed_png
 from tests.test_e2e import tiny_cfg_path  # noqa: F401
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def staged_run(tmp_path_factory, tiny_cfg_path):  # noqa: F811
     from premvos_tpu.pipeline import run_stages

@@ -7,6 +7,9 @@ from premvos_tpu.data.flow_pairs import FlowPairDataset, make_synthetic_chairs
 from premvos_tpu.parallel.mesh import make_mesh
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_instance_crop_dataset(tmp_path, rng):
     images, ann = make_synthetic_coco(tmp_path, num_images=3, per_image=2)
     ds = InstanceCropDataset(images, ann, crop_size=32)
@@ -40,7 +43,7 @@ def test_train_reid_engine(tmp_path):
 
     images, ann = make_synthetic_coco(tmp_path, num_images=3, per_image=2)
     ds = InstanceCropDataset(images, ann, crop_size=32)
-    cfg = ReIDConfig(backbone_depth=50, embedding_dim=8, crop_size=32)
+    cfg = ReIDConfig(backbone_depth=26, embedding_dim=8, crop_size=32)
     mesh = make_mesh(2)
     params, loss = train_reid(
         ds, cfg, steps=3, p=2, k=2, mesh=mesh, log_every=0

@@ -1,9 +1,13 @@
+import pytest
 import numpy as np
 
 from premvos_tpu.data.davis import DavisDataset, make_synthetic_davis
 from premvos_tpu.parallel.mesh import make_mesh
 from premvos_tpu.train.train_maskrcnn import train_maskrcnn
 from tests.test_maskrcnn import TINY
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_train_maskrcnn_engine(tmp_path):
