@@ -56,20 +56,24 @@ def main():
         labels = run_sequence(models, params, cfg, make_frames(seed), gt, n_obj)
         jax.block_until_ready(labels)
 
-    # Measure per run, MEDIAN of 5. Two platform defenses: fresh inputs every
-    # run (identical buffers were observed to memoize), and a full
-    # device→host transfer inside the timed region — block_until_ready
+    # Measure per run, MEDIAN of 5. Platform defenses: fresh inputs every
+    # run (identical buffers were observed to memoize); input uploads fenced
+    # BEFORE the timer (jnp.asarray is async — an in-flight 41 MB upload
+    # otherwise lands inside the timed region and measures the relay tunnel,
+    # not the chip); completion fenced by a 1-element device→host read of
+    # the last frame (which depends on the whole scan) — block_until_ready
     # through this remote relay was observed returning before execution
-    # (impossible >peak-FLOPs rates), while a host copy cannot complete
+    # (impossible >peak-FLOPs rates), while a host read cannot complete
     # until the result actually exists.
     runs = 5
     times = []
     sink = 0
     for seed in range(2, 2 + runs):
         frames = make_frames(seed)
+        jax.block_until_ready(frames)
         start = time.perf_counter()
         labels = run_sequence(models, params, cfg, frames, gt, n_obj)
-        sink += int(np.asarray(labels)[-1].sum())
+        sink += int(np.asarray(labels[-1, 0, 0]))
         times.append(time.perf_counter() - start)
 
     fps = (t - 1) / sorted(times)[len(times) // 2]

@@ -30,16 +30,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed_med(fn, make_args, runs=5):
-    """Median wall time of fn, fresh args each run, forced host transfer."""
-    out = fn(*make_args(0))  # compile
-    np.asarray(jax.tree.leaves(out)[0])
+def timed_med(fn, make_args, runs=7):
+    """Median wall time of fn, fresh args each run, forced host transfer.
+
+    Inputs are materialized on device BEFORE the timer (jnp.asarray uploads
+    are async; through this platform's relay an in-flight upload otherwise
+    lands inside the timed region and dominates small kernels)."""
+    args0 = make_args(0)
+    jax.block_until_ready(args0)
+    out = fn(*args0)  # compile
+    np.asarray(jax.tree.leaves(out)[0].ravel()[0])
     times = []
     for s in range(1, 1 + runs):
         args = make_args(s)
+        jax.block_until_ready(args)
         t0 = time.perf_counter()
         out = fn(*args)
-        _ = np.asarray(jax.tree.leaves(out)[0])  # transfer forces completion
+        # 1-element device->host read: forces completion without charging
+        # the tunnel a full-output download.
+        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
         times.append(time.perf_counter() - t0)
     return sorted(times)[len(times) // 2]
 

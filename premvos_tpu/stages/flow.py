@@ -45,3 +45,27 @@ def warp_masks(masks: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Backward-warp [K, H, W] masks by one [H, W, 2] flow field."""
     warped = jax.vmap(lambda m: resample2d(m[..., None], flow)[..., 0])(masks)
     return warped
+
+
+def warp_masks_coarse(
+    masks: jnp.ndarray, flow: jnp.ndarray, stride: int
+) -> jnp.ndarray:
+    """Backward-warp at 1/stride resolution, then upsample.
+
+    XLA lowers the bilinear warp to per-pixel dynamic gathers — the least
+    TPU-friendly op in the merge scan (no MXU, scalarized addressing). Masks
+    are smooth blobs and flow comes from a net that already predicted at
+    1/4 resolution, so warping on a stride-s grid then bilinearly upsampling
+    changes soft-IoU scores marginally while cutting the gather count s².
+    stride=1 falls back to the exact path.
+    """
+    if stride <= 1:
+        return warp_masks(masks, flow)
+    k, h, w = masks.shape
+    hs, ws = h // stride, w // stride
+    flow_s = (
+        jax.image.resize(flow, (hs, ws, 2), "bilinear") / float(stride)
+    )
+    masks_s = jax.image.resize(masks, (k, hs, ws), "bilinear")
+    warped_s = warp_masks(masks_s, flow_s)
+    return jax.image.resize(warped_s, (k, h, w), "bilinear")

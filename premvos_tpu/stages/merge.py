@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from premvos_tpu.config import MergeConfig
 from premvos_tpu.ops.masks import soft_mask_iou
-from premvos_tpu.stages.flow import warp_masks
+from premvos_tpu.stages.flow import warp_masks_coarse
 from premvos_tpu.stages.reid import reid_similarity
 
 NEG = -1e9
@@ -161,7 +161,9 @@ def merge_frame(
         # and joins proposal assignment from the NEXT frame (YT-VOS
         # protocol); it is excluded from this frame's assignment.
         new_active, intro_masks = intro
-    warped = warp_masks(state.prev_masks, flow_back)  # [K, H, W]
+    warped = warp_masks_coarse(
+        state.prev_masks, flow_back, cfg.warp_stride
+    )  # [K, H, W]
     s = score_matrix(
         state, warped, prop_masks, prop_scores, prop_emb, prop_valid, cfg
     )

@@ -50,14 +50,16 @@ def main():
         tc0 = time.time()
         for seed in (0, 1):  # compile + flush
             lab = run_sequence(m, params, cfg, frames(seed), gt, jnp.int32(2))
-            np.asarray(lab[-1])
+            np.asarray(lab[-1, 0, 0])
         compile_s = time.time() - tc0
         times = []
         for seed in range(2, 7):
             f = frames(seed)
+            jax.block_until_ready(f)  # uploads are async: fence them first
             t0 = time.perf_counter()
             lab = run_sequence(m, params, cfg, f, gt, jnp.int32(2))
-            _ = np.asarray(lab[-1])  # transfer one frame: completion fence
+            # 1-element read fences completion without a bulk download
+            _ = np.asarray(lab[-1, 0, 0])
             times.append(time.perf_counter() - t0)
         med = sorted(times)[len(times) // 2]
         print(

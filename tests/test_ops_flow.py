@@ -95,3 +95,38 @@ def test_ops_are_jittable(rng):
     jax.jit(lambda a, b: correlation_mxu(a, b, 4, 2))(f1, f2)
     flow = jnp.zeros((6, 6, 2))
     jax.jit(resample2d)(f1[..., :3], flow)
+
+
+def test_warp_masks_coarse_close_to_exact(rng):
+    """stride=4 coarse warp ≈ exact warp for smooth blobs + smooth flow."""
+    import jax.numpy as jnp
+
+    from premvos_tpu.stages.flow import warp_masks, warp_masks_coarse
+
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    masks = np.stack(
+        [
+            (np.exp(-(((yy - 30) / 12.0) ** 2 + ((xx - 40) / 15.0) ** 2))),
+            (np.exp(-(((yy - 20) / 8.0) ** 2 + ((xx - 70) / 10.0) ** 2))),
+        ]
+    ).astype(np.float32)
+    flow = np.stack(
+        [3.0 + 0.01 * yy, -2.0 + 0.01 * xx], axis=-1
+    ).astype(np.float32)
+    exact = np.asarray(warp_masks(jnp.asarray(masks), jnp.asarray(flow)))
+    coarse = np.asarray(
+        warp_masks_coarse(jnp.asarray(masks), jnp.asarray(flow), 4)
+    )
+    # Pointwise peaks soften at stride 4; what the merge consumes is the
+    # soft-IoU against proposals, so the operative bound is overlap-level.
+    assert np.abs(exact - coarse).mean() < 0.01
+    inter = np.minimum(exact, coarse).sum(axis=(1, 2))
+    union = np.maximum(exact, coarse).sum(axis=(1, 2))
+    # the 8px-σ blob is a near-worst case (≈2px at stride 4)
+    assert (inter / union > 0.85).all()
+    # stride=1 is exactly the exact path
+    one = np.asarray(
+        warp_masks_coarse(jnp.asarray(masks), jnp.asarray(flow), 1)
+    )
+    np.testing.assert_array_equal(one, exact)
