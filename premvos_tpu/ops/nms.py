@@ -104,6 +104,11 @@ def nms(
     if use_pallas:
         from premvos_tpu.ops.pallas.nms_pallas import nms_pallas
 
+        # NMS outputs (indices, keep) are integer/boolean — no tangent
+        # space. stop_gradient keeps autodiff (detection training on TPU)
+        # from trying to linearize through the Pallas kernel.
+        boxes = jax.lax.stop_gradient(boxes)
+        scores = jax.lax.stop_gradient(scores)
         return nms_pallas(
             boxes, scores, max_outputs, iou_threshold, score_threshold, valid
         )

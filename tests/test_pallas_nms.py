@@ -43,3 +43,28 @@ def test_pallas_nms_identical_boxes():
     (ia, ka), (ib, kb) = _run_both(boxes, scores, 8)
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
     assert int(np.asarray(kb).sum()) == 1
+
+
+def test_nms_pallas_under_grad(rng):
+    """Detection training differentiates through code paths that CALL nms
+    (TPU default = the Pallas kernel). NMS outputs are integer — gradients
+    must not attempt to linearize the kernel (stop_gradient in the
+    dispatcher). Reproduces the TPU finetune failure of 2026-08-16."""
+    import jax
+
+    from premvos_tpu.ops.pallas.nms_pallas import nms_pallas
+
+    boxes = jnp.asarray(rng.uniform(0, 64, (16, 4)), jnp.float32)
+    boxes = boxes.at[:, 2:].set(boxes[:, :2] + 5.0)
+    scores0 = jnp.asarray(rng.uniform(0, 1, (16,)), jnp.float32)
+
+    def loss(s):
+        idx, keep = nms_pallas(
+            jax.lax.stop_gradient(boxes), jax.lax.stop_gradient(s),
+            max_outputs=4, interpret=True,
+        )
+        picked = s[jnp.maximum(idx, 0)] * keep
+        return jnp.sum(picked)
+
+    g = jax.grad(loss)(scores0)
+    assert np.isfinite(np.asarray(g)).all()
