@@ -97,10 +97,11 @@ class MergeConfig:
     mask_threshold: float = 0.5
     reid_sigma: float = 1.0  # reid_sim = exp(−dist²/σ²)
     new_object_score_floor: float = 0.0
-    # Warp resolution divisor: 1 = exact per-pixel gather; 4 = warp on a
-    # quarter-res grid + bilinear upsample (gathers are the least
-    # TPU-friendly op in the merge scan; soft-IoU scores barely move).
-    warp_stride: int = 1
+    # Warp resolution divisor: 1 = exact per-pixel gather; s>1 warps on a
+    # 1/s grid + bilinear upsample (gathers are the least TPU-friendly op in
+    # the merge scan: stride 2 cut 13.9→3.2 ms/frame at 480p with
+    # overlap-level parity — see docs/STAGE_BUDGET.md). 1 restores exact.
+    warp_stride: int = 2
 
 
 @dataclass(frozen=True)

@@ -27,9 +27,10 @@ from premvos_tpu.data.lucid import lucid_batch
 from premvos_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
 from premvos_tpu.train.trainer import (
     create_train_state,
-    make_dp_train_step,
+    make_dp_train_step,  # noqa: F401 (re-export for callers)
+    make_pool_train_step,
     replicate_state,
-    shard_train_batch,
+    shard_train_batch,  # noqa: F401 (re-export for callers)
 )
 
 
@@ -130,9 +131,10 @@ def finetune_refine(
 
     tx = optax.adam(ft_cfg.learning_rate)
     state = replicate_state(create_train_state(params, tx), mesh)
-    step = make_dp_train_step(loss_fn, tx, mesh)
 
-    # Pre-generate an augmentation pool, then sample batches from it.
+    # Pre-generate an augmentation pool, upload it ONCE; every step gathers
+    # its batch on device (make_pool_train_step) — streaming batches from
+    # the host measured 13.5 s/step through this platform's relay.
     pool_n = min(ft_cfg.num_augmentations, max(ft_cfg.steps, 64))
     imgs, labs = lucid_batch(first_frame, first_labels, rng, pool_n)
     crops, tgts = make_refine_examples(
@@ -141,13 +143,15 @@ def finetune_refine(
     if len(crops) == 0:
         return params, float("nan")
 
+    import jax as _jax
+
+    step, pool_d = make_pool_train_step(
+        loss_fn, tx, mesh, (crops, tgts), bs
+    )
+    base_key = _jax.random.PRNGKey(seed)
     loss = float("nan")
     for it in range(ft_cfg.steps):
-        idx = rng.integers(0, len(crops), size=bs)
-        batch = shard_train_batch(
-            (jnp.asarray(crops[idx]), jnp.asarray(tgts[idx])), mesh
-        )
-        state, loss = step(state, batch)
+        state, loss = step(state, pool_d, base_key)
         if log_every and (it + 1) % log_every == 0:
             print(f"[finetune] step {it + 1}/{ft_cfg.steps} loss={float(loss):.4f}")
     return state.params, float(loss)
@@ -205,32 +209,32 @@ def finetune_proposals(
     pool_n = min(ft_cfg.num_augmentations, max(ft_cfg.steps, 64))
     imgs, labs = lucid_batch(first_frame, first_labels, rng, pool_n)
 
-    images_n = (imgs.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     gt = [labels_to_boxes_masks(l, max_objects) for l in labs]
     gt_boxes = np.stack([g[0] for g in gt])
-    gt_masks = np.stack([g[1] for g in gt])
+    gt_masks = np.stack([g[1] for g in gt]).astype(np.uint8)
     gt_valid = np.stack([g[2] for g in gt])
+    seeds = rng.integers(0, 2**31 - 1, size=pool_n).astype(np.uint32)
 
-    loss_fn = maskrcnn_loss_fn(model, anchors, proposal_cfg, (h, w))
+    base_loss = maskrcnn_loss_fn(model, anchors, proposal_cfg, (h, w))
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+    def loss_fn(p, batch):
+        # Pool stores uint8 images/masks (HBM + one-time upload are 4×
+        # smaller); normalize/cast on device per batch.
+        im, gb, gm, gv, sd = batch
+        im = (im.astype(jnp.float32) / 255.0 - mean) / std
+        return base_loss(p, (im, gb, gm.astype(jnp.float32), gv, sd))
+
     tx = optax.adam(ft_cfg.learning_rate)
     state = replicate_state(create_train_state(params, tx), mesh)
-    step = make_dp_train_step(loss_fn, tx, mesh)
-
+    step, pool_d = make_pool_train_step(
+        loss_fn, tx, mesh, (imgs, gt_boxes, gt_masks, gt_valid, seeds), bs
+    )
+    base_key = jax.random.PRNGKey(seed)
     loss = float("nan")
     for it in range(ft_cfg.steps):
-        idx = rng.integers(0, pool_n, size=bs)
-        seeds = rng.integers(0, 2**31 - 1, size=bs).astype(np.uint32)
-        batch = shard_train_batch(
-            (
-                jnp.asarray(images_n[idx]),
-                jnp.asarray(gt_boxes[idx]),
-                jnp.asarray(gt_masks[idx]),
-                jnp.asarray(gt_valid[idx]),
-                jnp.asarray(seeds),
-            ),
-            mesh,
-        )
-        state, loss = step(state, batch)
+        state, loss = step(state, pool_d, base_key)
         if log_every and (it + 1) % log_every == 0:
             print(f"[finetune-prop] step {it + 1}/{ft_cfg.steps} loss={float(loss):.4f}")
     return state.params, float(loss)

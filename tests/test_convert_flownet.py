@@ -57,6 +57,7 @@ def test_convtranspose2d_numerical_parity(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_state_dict_mapping(rng):
     """Synthesize a flownet2-pytorch-shaped state dict from our own param
     tree and check the converter rebuilds it exactly (all keys consumed,

@@ -64,6 +64,7 @@ def test_assign_roi_and_mask_targets():
     assert float(m[1].mean()) < 0.05  # proposal 1 is off the object
 
 
+@pytest.mark.slow
 def test_maskrcnn_train_step_decreases_loss():
     import optax
 

@@ -92,6 +92,7 @@ def test_run_sequence_single_object(pipeline):
     assert (lab != 2).all()  # padded object slot never emits labels
 
 
+@pytest.mark.slow
 def test_chunked_scan_matches_sequential(pipeline):
     """The two-level scan (stages 1–4 batched over scan_chunk frames, merge
     scanned inside) must reproduce the fully sequential path — batching is a
@@ -101,11 +102,17 @@ def test_chunked_scan_matches_sequential(pipeline):
 
     models, params = pipeline
     frames, gt = make_video(t=6)
+    # warp_stride=1: with random weights the coarse warp makes borderline
+    # score flips chaotic frame-to-frame; the exact warp keeps this a pure
+    # restructuring-parity check.
+    exact = dataclasses.replace(TINY.merge, warp_stride=1)
     cfg4 = dataclasses.replace(
-        TINY, pipeline=dataclasses.replace(TINY.pipeline, scan_chunk=4)
+        TINY, merge=exact,
+        pipeline=dataclasses.replace(TINY.pipeline, scan_chunk=4),
     )
     cfg1 = dataclasses.replace(
-        TINY, pipeline=dataclasses.replace(TINY.pipeline, scan_chunk=1)
+        TINY, merge=exact,
+        pipeline=dataclasses.replace(TINY.pipeline, scan_chunk=1),
     )
     l1 = np.asarray(run_sequence(build_models(cfg1), params, cfg1, frames, gt, 2))
     l4 = np.asarray(run_sequence(build_models(cfg4), params, cfg4, frames, gt, 2))
@@ -115,6 +122,7 @@ def test_chunked_scan_matches_sequential(pipeline):
     assert (l1 == l4).mean() > 0.995
 
 
+@pytest.mark.slow
 def test_sharded_sequences_on_cpu_mesh(pipeline):
     models, params = pipeline
     mesh = make_mesh(8)

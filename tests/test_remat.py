@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -5,6 +6,7 @@ import numpy as np
 from premvos_tpu.models.resnet import ResNet
 
 
+@pytest.mark.slow
 def test_remat_same_forward_and_grad(rng):
     x = jnp.array(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
     plain = ResNet(depth=50)

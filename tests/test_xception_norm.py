@@ -7,6 +7,7 @@ from-scratch-training regime (frozen BN would train through identity
 statistics).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +28,7 @@ def test_xception_feature_strides():
     assert feats["C5"].shape[-1] == 2048
 
 
+@pytest.mark.slow
 def test_deeplab_xception_backbone():
     cfg = RefineConfig(crop_size=33, backbone="xception65")
     model = DeepLabV3Plus(cfg=cfg)
