@@ -43,7 +43,25 @@ from premvos_tpu.ops.pallas.roi_align_pallas import _interp_rows
 STRIDES = (4, 8, 16, 32)
 
 
-def _kernel(boxes_ref, levels_ref, counts_ref, f2, f3, f4, f5, out_ref,
+def _interp_rows_2d(coords, size):
+    """[rb, ps] sample coords → [rb, ps, size] bilinear weights (edge-
+    clamped, zeroed >1px outside) — iota comparisons only, no gathers."""
+    rb, ps = coords.shape
+    inside = jnp.logical_and(coords > -1.0, coords < size)
+    c = jnp.clip(coords, 0.0, size - 1.0)
+    i0 = jnp.floor(c)
+    w1 = c - i0
+    w0 = jnp.where(inside, 1.0 - w1, 0.0)
+    w1 = jnp.where(inside, w1, 0.0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rb, ps, size), 2).astype(
+        jnp.float32
+    )
+    return (cols == i0[..., None]) * w0[..., None] + (
+        cols == jnp.minimum(i0 + 1, size - 1)[..., None]
+    ) * w1[..., None]
+
+
+def _kernel(counts_ref, boxes_ref, levels_ref, f2, f3, f4, f5, out_ref,
             tmp_ref, *, rb, p, s):
     i = pl.program_id(1)
     ps = p * s
@@ -52,8 +70,10 @@ def _kernel(boxes_ref, levels_ref, counts_ref, f2, f3, f4, f5, out_ref,
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
+    # [rb, ps] sample fractions along the RoI (vectorized — Mosaic rejects
+    # concatenations of per-RoI scalar-built vectors).
     grid_pts = (
-        jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0).astype(jnp.float32)[:, 0]
+        jax.lax.broadcasted_iota(jnp.int32, (rb, ps), 1).astype(jnp.float32)
         + 0.5
     ) / ps
 
@@ -64,34 +84,35 @@ def _kernel(boxes_ref, levels_ref, counts_ref, f2, f3, f4, f5, out_ref,
             h, w = fref.shape[0], fref.shape[1]
             scale = 1.0 / stride
 
-            # Per-RoI sample coordinates and the off-level row mask, stacked
-            # into one [rb·ps] batch (rb is small and static; this is trace-
-            # time unrolling of scalar reads, not runtime branching).
-            ys_rows, xs_rows, mask_rows = [], [], []
-            for r in range(rb):
-                idx = i * rb + r
-                on = (levels_ref[idx] == li + 2).astype(jnp.float32)
-                x1 = boxes_ref[idx, 0] * scale - 0.5
-                y1 = boxes_ref[idx, 1] * scale - 0.5
-                x2 = boxes_ref[idx, 2] * scale - 0.5
-                y2 = boxes_ref[idx, 3] * scale - 0.5
-                bw = jnp.maximum(x2 - x1, 1e-6)
-                bh = jnp.maximum(y2 - y1, 1e-6)
-                ys_rows.append(y1 + grid_pts * bh)
-                xs_rows.append(x1 + grid_pts * bw)
-                mask_rows.append(jnp.full((ps,), on))
-            ys_all = jnp.concatenate(ys_rows)  # [rb·ps]
-            xs_all = jnp.concatenate(xs_rows)
-            mask = jnp.concatenate(mask_rows)[:, None]  # [rb·ps, 1]
+            boxes = boxes_ref[...]  # [rb, 4] VMEM block for this RoI block
+            on = (levels_ref[...] == li + 2).astype(jnp.float32)  # [rb, 1]
+            x1 = boxes[:, 0:1] * scale - 0.5
+            y1 = boxes[:, 1:2] * scale - 0.5
+            x2 = boxes[:, 2:3] * scale - 0.5
+            y2 = boxes[:, 3:4] * scale - 0.5
+            bw = jnp.maximum(x2 - x1, 1e-6)
+            bh = jnp.maximum(y2 - y1, 1e-6)
+            ys = y1 + grid_pts * bh  # [rb, ps]
+            xs = x1 + grid_pts * bw
 
-            wy = (_interp_rows(ys_all, h) * mask).astype(fref.dtype)
-            wx = _interp_rows(xs_all, w)  # fp32; wy carries the mask
+            wy = (
+                _interp_rows_2d(ys, h) * on[..., None]
+            ).reshape(rb * ps, h).astype(fref.dtype)
+            wx = _interp_rows_2d(xs, w)  # [rb, ps, W] fp32; wy carries mask
+            wx = wx.reshape(rb * ps, w)
 
             # Big dot on the MXU, result straight into VMEM scratch (never
             # materialized in vregs): [rb·ps, H] × [H, W·CB] → [rb·ps, W·CB].
+            # fp32 features pin HIGHEST so parity matches the XLA path
+            # (which pins it in ops.roi_align); bf16 production is exact-bf16.
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if fref.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
             tmp_ref[:, : w * cb] = jax.lax.dot_general(
                 wy, fref[:].reshape(h, w * cb), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
 
             # Small batched dot: contract W per RoI.
@@ -101,6 +122,7 @@ def _kernel(boxes_ref, levels_ref, counts_ref, f2, f3, f4, f5, out_ref,
                 tmp_ref[:, : w * cb].reshape(rb, ps, w, cb),
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             out = jnp.transpose(out, (0, 2, 1, 3))  # [rb, ps_y, ps_x, CB]
             pooled = out.reshape(rb, p, s, p, s, cb).mean(axis=(2, 4))
@@ -173,13 +195,21 @@ def multilevel_roi_align_pallas(
     wmax = max(f.shape[1] for f in feats)
     scratch_bytes = rb * p * s * wmax * cb * 4
     vmem_budget = min(
-        2 * slab + scratch_bytes + 16 * 1024 * 1024, 120 * 1024 * 1024
+        2 * slab + scratch_bytes + 40 * 1024 * 1024, 126 * 1024 * 1024
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # boxes, levels, per-block level counts
+        num_scalar_prefetch=1,  # per-block level counts (drives @pl.when)
         grid=(n_cb, n_rb),
         in_specs=[
+            pl.BlockSpec(
+                (rb, 4), lambda j, i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (rb, 1), lambda j, i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + [
             pl.BlockSpec(
                 (f.shape[0], f.shape[1], cb), lambda j, i, *_: (0, 0, j),
                 memory_space=pltpu.VMEM,
@@ -200,5 +230,5 @@ def multilevel_roi_align_pallas(
         out_shape=jax.ShapeDtypeStruct((sb.shape[0], p, p, c + c_pad), p2.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
         interpret=interpret,
-    )(sb, sl, counts, *feats)
+    )(counts, sb, sl.astype(jnp.float32)[:, None], *feats)
     return out[inv, :, :, :c]

@@ -58,7 +58,9 @@ def demo_config():
             backbone_depth=26, embedding_dim=32, crop_size=32,
             norm="group_norm",
         ),
-        merge=MergeConfig(),
+        # 10-px objects on a 64×96 canvas: coarse warp (stride 2) visibly
+        # degrades the warp prior at this scale — use the exact path.
+        merge=MergeConfig(warp_stride=1),
         pipeline=PipelineConfig(
             image_height=64, image_width=96, max_objects=2, max_proposals=8,
             dtype="float32", scan_chunk=4,
@@ -137,6 +139,60 @@ def make_shift_pairs(root, out_dir, n_pairs: int = 64, hw=(64, 128)):
     return out_dir
 
 
+def diagnose(cfg, models, params, data):
+    """Per-frame stage-quality report: best-proposal IoU per GT object
+    (detection+refinement recall) and the merge's pick — separates
+    'proposals are bad' from 'merge picked wrong'."""
+    import jax.numpy as jnp
+
+    from premvos_tpu.pipeline.runner import precompute_sequence
+    from premvos_tpu.stages.merge import init_state, merge_frame
+
+    p = cfg.pipeline
+    frames = jnp.asarray(data["frames"])
+    gt_masks = jnp.asarray(data["gt_masks"])
+    n_obj = int(data["num_objects"])
+    pre = precompute_sequence(
+        models, params, cfg, frames, gt_masks, jnp.int32(n_obj)
+    )
+    gt_labels = np.asarray(data["gt_labels"])
+    state = init_state(gt_masks, pre["gt_emb"], jnp.int32(n_obj))
+    t_steps = int(pre["scores"].shape[0])
+    for t in range(t_steps):
+        pm = np.asarray(pre["prop_masks"][t], np.float32)  # [N, H, W]
+        va = np.asarray(pre["valid"][t])
+        state, labels, info = merge_frame(
+            state,
+            jnp.asarray(pre["prop_masks"][t]),
+            jnp.asarray(pre["scores"][t]),
+            jnp.asarray(pre["emb"][t]),
+            jnp.asarray(pre["valid"][t]),
+            jnp.asarray(pre["flow"][t]),
+            cfg.merge,
+        )
+        assign = np.asarray(info["assign"])
+        rows = []
+        for k in range(n_obj):
+            g = (gt_labels[t + 1] == k + 1).astype(np.float32)
+            ious = [
+                float(
+                    np.minimum(pm[j], g).sum()
+                    / max(np.maximum(pm[j], g).sum(), 1e-6)
+                )
+                for j in range(pm.shape[0])
+                if va[j]
+            ]
+            best = int(np.argmax(ious)) if ious else -1
+            chose = int(assign[k])
+            chose_iou = ious[chose] if 0 <= chose < len(ious) else float("nan")
+            rows.append(
+                f"obj{k + 1}: best_prop_iou={max(ious) if ious else 0:.2f}"
+                f"(#{best}) merge_chose=#{chose} iou={chose_iou:.2f}"
+            )
+        print(f"[diag] t={t + 1} n_valid={int(va.sum())} | " + " | ".join(rows),
+              flush=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="reduced steps")
@@ -149,13 +205,19 @@ def main(argv=None):
     ap.add_argument("--out", default="docs/SYNTHETIC_ACCURACY.json")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (leaves the TPU free)")
+    ap.add_argument("--save-params", default=None,
+                    help="orbax dir to save trained params")
+    ap.add_argument("--load-params", default=None,
+                    help="orbax dir to load params (skips training)")
+    ap.add_argument("--diagnose", action="store_true",
+                    help="print per-frame proposal/assignment quality")
     args = ap.parse_args(argv)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     base = 80 if args.quick else 400
-    steps_det = args.steps_det if args.steps_det is not None else base
+    steps_det = args.steps_det if args.steps_det is not None else 2 * base
     steps_refine = args.steps_refine if args.steps_refine is not None else base
     steps_reid = args.steps_reid if args.steps_reid is not None else base // 2
     steps_flow = args.steps_flow if args.steps_flow is not None else base // 2
@@ -180,6 +242,12 @@ def main(argv=None):
 
     models = build_models(cfg)
     params = dict(init_params(models, cfg, jax.random.PRNGKey(args.seed)))
+
+    if args.load_params:
+        from premvos_tpu.utils.checkpoint import load_params
+
+        params = load_params(args.load_params, like=params)
+        return run_eval(args, cfg, models, params, ds)
 
     print("[demo] training proposal net ...", flush=True)
     params["maskrcnn"], loss_det = train_maskrcnn(
@@ -224,6 +292,22 @@ def main(argv=None):
     params["flow"] = {"params": {"flownetc": flow_params["params"]}}
     print(f"[demo] flow loss {loss_flow:.4f}", flush=True)
 
+    if args.save_params:
+        from premvos_tpu.utils.checkpoint import save_params
+
+        save_params(args.save_params, params)
+        print(f"[demo] params saved to {args.save_params}", flush=True)
+
+    return run_eval(args, cfg, models, params, ds)
+
+
+def run_eval(args, cfg, models, params, ds):
+    import jax.numpy as jnp
+
+    from premvos_tpu.eval.davis_eval import evaluate_sequence
+    from premvos_tpu.pipeline.runner import run_sequence
+
+    p = cfg.pipeline
     print("[demo] running the fused pipeline ...", flush=True)
     data = ds.load_sequence("demo", p.image_height, p.image_width, p.max_objects)
     labels = np.asarray(
@@ -241,12 +325,10 @@ def main(argv=None):
         "J": result["J"], "F": result["F"], "J&F": result["J&F"],
         "threshold": args.threshold,
         "passed": result["J&F"] >= args.threshold,
-        "steps": {"det": steps_det, "refine": steps_refine,
-                  "reid": steps_reid, "flow": steps_flow},
-        "losses": {"det": loss_det, "refine": loss_ref,
-                   "reid": loss_reid, "flow": loss_flow},
         "config": "demo_config() — depth-26 GroupNorm nets, 64×96 canvas",
     }
+    if args.diagnose:
+        diagnose(cfg, models, params, data)
     print(json.dumps(report, indent=2), flush=True)
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
