@@ -209,15 +209,17 @@ class MaskRCNN(nn.Module):
         rois, _, roi_valid = self.proposals(feats, anchors, (h, w))
 
         def per_image(f, r, rv):
-            det_boxes, det_scores, det_valid = self.detect(f, r, rv, (h, w))
-            mask_logits = self.masks(f, det_boxes)
+            det_boxes, det_scores, det_valid = self.detect(
+                f, r, rv, (h, w), align_fn=multilevel_roi_align_auto
+            )
+            mask_logits = self.masks(
+                f, det_boxes, align_fn=multilevel_roi_align_auto
+            )
             return det_boxes, det_scores, det_valid, mask_logits
 
-        # NOTE: always the vmapped path, even at B=1. An unbatched "fast
-        # path" wired to the fused Pallas align was tried in round 1 and
-        # regressed 10× with vanishing detections on TPU (see
-        # ops/pallas/multilevel_roi_align_pallas.py STATUS); the vmapped
-        # XLA path is the measured-good production route.
+        # multilevel_roi_align_auto: level-sorted fused Pallas kernel on TPU
+        # (lax.map'ed under this vmap via its custom_vmap rule), XLA 4-level
+        # path on CPU / with PREMVOS_FUSED_ALIGN=0.
         det_boxes, det_scores, det_valid, mask_logits = jax.vmap(per_image)(
             feats, rois, roi_valid
         )
