@@ -76,6 +76,10 @@ def multilevel_roi_align_auto(
     use_pallas = (
         os.environ.get("PREMVOS_FUSED_ALIGN", "1") == "1"
         and jax.default_backend() != "cpu"
+        # Mosaic can't shape-cast the [H, W, CB] slab to [H, W·CB] unless
+        # the channel block is lane-aligned; small test/demo configs
+        # (fpn_channels < 128) take the XLA path.
+        and feats["P2"].shape[-1] % 128 == 0
     )
     if not use_pallas:
         return multilevel_roi_align(feats, boxes, output_size, sampling_ratio)
