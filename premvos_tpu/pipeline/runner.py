@@ -280,12 +280,13 @@ def precompute_sequence(
     }
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("warp_stride",))
 def merge_labels_from_precomputed(
     pre: dict,
     gt_masks: jnp.ndarray,
     num_objects,
     weights: jnp.ndarray,
+    warp_stride: int = 2,
 ):
     """Replay ONLY the merge scan over precomputed stage outputs.
 
@@ -303,6 +304,7 @@ def merge_labels_from_precomputed(
         w_overlap=weights[3],
         reid_sigma=weights[4],
         new_object_score_floor=weights[5],
+        warp_stride=warp_stride,
     )
     state = init_state(gt_masks, pre["gt_emb"], num_objects)
 

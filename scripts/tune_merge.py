@@ -47,7 +47,7 @@ WEIGHT_NAMES = (
 )
 
 
-def evaluate_candidate(weights, precomputed, eval_fn):
+def evaluate_candidate(weights, precomputed, eval_fn, warp_stride=2):
     """Mean J&F of one weight vector across all precomputed sequences."""
     from premvos_tpu.eval.davis_eval import evaluate_dataset, evaluate_sequence
     from premvos_tpu.pipeline.runner import merge_labels_from_precomputed
@@ -56,7 +56,9 @@ def evaluate_candidate(weights, precomputed, eval_fn):
     w = jnp.asarray(weights)
     for pre, gt_masks, num_objects, gt_labels in precomputed:
         labels = np.asarray(
-            merge_labels_from_precomputed(pre, gt_masks, num_objects, w)
+            merge_labels_from_precomputed(
+                pre, gt_masks, num_objects, w, warp_stride=warp_stride
+            )
         )
         labels = eval_fn(labels)
         results.append(evaluate_sequence(labels, gt_labels, int(num_objects)))
@@ -68,6 +70,10 @@ def main():
     ap.add_argument("--data", help="DAVIS root (JPEGImages/Annotations)")
     ap.add_argument("--synthetic", action="store_true",
                     help="tune on generated moving-squares sequences")
+    ap.add_argument("--demo", action="store_true",
+                    help="tune on the trained synthetic-accuracy demo setup "
+                         "(scripts/train_synthetic_demo.py config + its "
+                         "--save-params checkpoint via --checkpoint)")
     ap.add_argument("--split", default="val")
     ap.add_argument("--trials", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
@@ -84,7 +90,12 @@ def main():
         build_models, init_params, precompute_sequence,
     )
 
-    if args.config:
+    if args.demo:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+        from train_synthetic_demo import demo_config
+
+        cfg = demo_config()
+    elif args.config:
         cfg = load_config(args.config)
     elif args.synthetic:
         # Small nets + canvas so the harness runs anywhere (incl. CPU CI).
@@ -111,7 +122,13 @@ def main():
     else:
         cfg = PremvosConfig()
 
-    if args.synthetic:
+    if args.demo:
+        root = tempfile.mkdtemp(prefix="tune_merge_demo_")
+        make_synthetic_davis(root, sequences=("demo",), t=10,
+                             hw=(cfg.pipeline.image_height,
+                                 cfg.pipeline.image_width), num_objects=2)
+        args.data = root
+    elif args.synthetic:
         root = tempfile.mkdtemp(prefix="tune_merge_synth_")
         make_synthetic_davis(root, sequences=("seq_a", "seq_b"), t=6,
                              hw=(64, 96), num_objects=2)
@@ -153,12 +170,13 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     best_w, best_score = DEFAULT_WEIGHTS, -1.0
-    baseline, _ = evaluate_candidate(DEFAULT_WEIGHTS, precomputed, eval_crop)
+    ws = cfg.merge.warp_stride
+    baseline, _ = evaluate_candidate(DEFAULT_WEIGHTS, precomputed, eval_crop, ws)
     print(f"[tune] baseline (all-1.0) J&F = {baseline:.4f}", flush=True)
     best_score = baseline
     for t in range(args.trials):
         w = sample_weights(rng)
-        score, _ = evaluate_candidate(w, precomputed, eval_crop)
+        score, _ = evaluate_candidate(w, precomputed, eval_crop, ws)
         mark = ""
         if score > best_score:
             best_w, best_score, mark = w, score, "  ← best"
