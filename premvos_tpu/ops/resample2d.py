@@ -59,8 +59,12 @@ def resample2d(src: jnp.ndarray, flow: jnp.ndarray, mode: str = "bilinear"):
         collapsed_slice_dims=(),
         start_index_map=(0, 1),
     )
+    # Gather in fp32: sub-word (bf16) operands push XLA's TPU gather onto a
+    # drastically slower path; the cast is bandwidth-trivial next to the
+    # gather's index overhead. Output stays at the weights' promoted dtype
+    # (fp32 for fp32 flow), matching the four-corner formulation.
     patches = jax.lax.gather(
-        src, starts, dnums, slice_sizes=(2, 2, c),
+        src.astype(jnp.float32), starts, dnums, slice_sizes=(2, 2, c),
         mode=jax.lax.GatherScatterMode.CLIP,
     ).reshape(h, w, 2, 2, c)
     top = patches[:, :, 0, 0] * (1 - wx) + patches[:, :, 0, 1] * wx

@@ -44,12 +44,18 @@ def run_flow_pairs(model, params, frames, infer_hw=None):
 def warp_masks(masks: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Backward-warp [K, H, W] masks by one [H, W, 2] flow field.
 
-    All K masks ride ONE gather as the channel dim of a single resample2d
-    call — vmapping the gather over masks batches its *operand*, which XLA
-    lowers to a catastrophically slow path (measured ~100 ms per mask at
-    480×864 vs ~3 ms for the whole channel-packed warp)."""
-    warped = resample2d(jnp.transpose(masks, (1, 2, 0)), flow)
-    return jnp.transpose(warped, (2, 0, 1))
+    Formulation chosen by measurement (scripts/bench_flow_breakdown.py,
+    TPU v5e): per-mask four-corner advanced indexing = 13.9/3.2/0.7 ms at
+    stride 1/2/4 for K=8 @480×864. Two rejected alternatives measured
+    catastrophically slower: vmapping the 2×2-patch gather over masks
+    (operand batching → ~100 ms/mask) and packing masks into the gather's
+    channel dim (~850 ms — tiny-slice gathers)."""
+    from premvos_tpu.ops.resample2d import resample2d_reference
+
+    warped = jax.vmap(
+        lambda m: resample2d_reference(m[..., None], flow)[..., 0]
+    )(masks)
+    return warped
 
 
 def warp_masks_coarse(

@@ -91,35 +91,41 @@ def timed_med(fn, mk, runs=7):
 
 
 def main():
+    from premvos_tpu.ops.resample2d import resample2d as resample2d_prod
+    from premvos_tpu.ops.resample2d import resample2d_reference
+
     h, w, c = 448, 832, 3
 
     def fresh(seed, shape, dtype=jnp.float32):
         return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), dtype)
 
-    # correctness vs current
+    # correctness vs the four-corner oracle
     src = fresh(0, (h, w, c))
     flow = 15.0 * fresh(1, (h, w, 2))
-    want = np.asarray(resample2d(src, flow))
-    for name, fn in (("vpatch", resample2d_patch), ("vflat", resample2d_flat)):
+    want = np.asarray(resample2d_reference(src, flow))
+    for name, fn in (("vpatch", resample2d_patch), ("vflat", resample2d_flat),
+                     ("vprod", resample2d_prod)):
         got = np.asarray(jax.jit(fn)(src, flow))
         err = np.abs(got - want).max()
         print(f"parity {name}: max|Δ|={err:.2e}", flush=True)
 
-    for name, fn in (
-        ("v4gather", resample2d),
-        ("vpatch", resample2d_patch),
-        ("vflat", resample2d_flat),
-    ):
-        f = jax.jit(lambda im, fl, fn=fn: jax.vmap(fn)(im, fl))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        for name, fn in (
+            ("v4gather", resample2d_reference),
+            ("vpatch", resample2d_patch),
+            ("vprod_f32gather", resample2d_prod),
+        ):
+            f = jax.jit(lambda im, fl, fn=fn: jax.vmap(fn)(im, fl))
 
-        def mk(s, b):
-            return fresh(s, (b, h, w, c)), 15.0 * fresh(s + 5, (b, h, w, 2))
+            def mk(s, b):
+                return fresh(s, (b, h, w, c), dtype), 15.0 * fresh(s + 5, (b, h, w, 2))
 
-        t1 = timed_med(f, lambda s: mk(s, 2))
-        t2 = timed_med(f, lambda s: mk(s, 6))
-        m = (t2 - t1) / 4
-        print(json.dumps({"metric": f"resample_{name}", "marginal_ms": round(m * 1e3, 2),
-                          "b2_ms": round(t1 * 1e3, 1), "b6_ms": round(t2 * 1e3, 1)}), flush=True)
+            t1 = timed_med(f, lambda s: mk(s, 2))
+            t2 = timed_med(f, lambda s: mk(s, 6))
+            m = (t2 - t1) / 4
+            print(json.dumps({"metric": f"resample_{name}_{dtype.__name__}",
+                              "marginal_ms": round(m * 1e3, 2),
+                              "b2_ms": round(t1 * 1e3, 1), "b6_ms": round(t2 * 1e3, 1)}), flush=True)
 
 
 if __name__ == "__main__":
