@@ -120,30 +120,57 @@ def main():
         "deeplab_refine_crops", m, "crops/sec (marginal)", t1, n, t2, 2 * n
     ) * n  # per frame
 
-    # 3. flow + mask warp — marginal per pair
+    # 3a. flow net + upsample — marginal per pair (production structure:
+    # the net runs batched over the chunk; the mask warp happens per frame
+    # inside the merge scan and is measured separately below).
     fh, fw = cfg.flow.infer_height, cfg.flow.infer_width
 
-    def flow_and_warp(pr, a, b, masks):
+    def flow_net(pr, a, b):
         fl = models.flow.apply(pr, a, b)
-        fl = jax.vmap(
+        return jax.vmap(
             lambda f: jax.image.resize(f, (h, w, 2), "bilinear")
             * jnp.array([w / fw, h / fh])
         )(fl)
-        return jax.vmap(warp_masks, in_axes=(None, 0))(masks, fl)
 
-    f3 = jax.jit(flow_and_warp)
+    f3 = jax.jit(flow_net)
     m, t1, t2 = marginal(
         f3,
         lambda s, b: (
             params["flow"],
             fresh(s, (b, fh, fw, 3)),
             fresh(s + 100, (b, fh, fw, 3)),
-            (fresh(s + 200, (p.max_objects, h, w)) > 0).astype(jnp.float32),
         ),
         4, 8,
     )
     budget["flow"] = emit(
-        "flownet2_pair_plus_mask_warp", m, "pairs/sec (marginal)", t1, 4, t2, 8
+        "flownet2_pair_plus_upsample", m, "pairs/sec (marginal)", t1, 4, t2, 8
+    )
+
+    # 3b. merge-scan mask warp — per frame, unbatched inside a scan exactly
+    # like merge_frame, at the production warp_stride.
+    from premvos_tpu.stages.flow import warp_masks_coarse
+
+    ws = cfg.merge.warp_stride
+
+    def warp_scan(masks, flows):
+        def body(carry, fl):
+            wped = warp_masks_coarse(carry, fl, ws)
+            return wped, jnp.float32(0)
+
+        out, _ = jax.lax.scan(body, masks, flows)
+        return out
+
+    f3b = jax.jit(warp_scan)
+    m, t1, t2 = marginal(
+        f3b,
+        lambda s, b: (
+            (fresh(s + 200, (p.max_objects, h, w)) > 0).astype(jnp.float32),
+            5.0 * fresh(s + 300, (b, h, w, 2)),
+        ),
+        4, 8,
+    )
+    budget["merge_warp"] = emit(
+        f"merge_mask_warp_stride{ws}", m, "frames/sec (marginal)", t1, 4, t2, 8
     )
 
     # 4. reid — marginal per crop
