@@ -24,10 +24,17 @@ REFERENCE_FPS = 1.0 / 38.0
 
 
 def main():
-    from premvos_tpu.config import PremvosConfig
+    import dataclasses
+
+    from premvos_tpu.config import MergeConfig, PremvosConfig
     from premvos_tpu.pipeline.runner import build_models, init_params, run_sequence
 
-    cfg = PremvosConfig()
+    # Production perf preset: coarse warp (warp_stride 2). The config default
+    # is the exact stride-1 warp; stride 2 is overlap-parity tested and its
+    # held-out J&F impact is recorded in docs/SYNTHETIC_BENCHMARK.json.
+    cfg = dataclasses.replace(
+        PremvosConfig(), merge=MergeConfig(warp_stride=2)
+    )
     models = build_models(cfg)
     params = init_params(models, cfg, jax.random.PRNGKey(0))
 

@@ -97,11 +97,14 @@ class MergeConfig:
     mask_threshold: float = 0.5
     reid_sigma: float = 1.0  # reid_sim = exp(−dist²/σ²)
     new_object_score_floor: float = 0.0
-    # Warp resolution divisor: 1 = exact per-pixel gather; s>1 warps on a
-    # 1/s grid + bilinear upsample (gathers are the least TPU-friendly op in
-    # the merge scan: stride 2 cut 13.9→3.2 ms/frame at 480p with
-    # overlap-level parity — see docs/STAGE_BUDGET.md). 1 restores exact.
-    warp_stride: int = 2
+    # Warp resolution divisor: 1 = exact per-pixel gather (reference
+    # semantics, the default); s>1 warps on a 1/s grid + bilinear upsample
+    # (gathers are the least TPU-friendly op in the merge scan: stride 2 cut
+    # 13.9→3.2 ms/frame at 480p with overlap-level parity — see
+    # docs/STAGE_BUDGET.md). Perf presets (configs/davis2017_val.json,
+    # bench.py) opt into 2; held-out accuracy at both strides is recorded in
+    # docs/SYNTHETIC_BENCHMARK.json.
+    warp_stride: int = 1
 
 
 @dataclass(frozen=True)

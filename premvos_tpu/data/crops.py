@@ -164,3 +164,52 @@ def make_synthetic_coco(root, num_images: int = 4, per_image: int = 2,
     with open(root / "instances.json", "w") as f:
         json.dump({"images": images, "annotations": annotations}, f)
     return root / "images", root / "instances.json"
+
+
+class DavisObjectCrops:
+    """PK sampler of per-object crops from a DAVIS-layout dataset.
+
+    Identity = (sequence, object id); views = the object's crops across
+    frames (skipping frames where it is occluded away or off-canvas). Used
+    to train the ReID net on the synthetic VOS benchmark's train split the
+    same way the reference trains on COCO/PASCAL crops (SURVEY.md C4) —
+    same-instance crops across frames are positives, everything else
+    (including its look-alike distractor, which is its own identity) is a
+    negative.
+    """
+
+    def __init__(self, ds, crop_size: int, image_hw, max_objects: int = 8,
+                 min_area: int = 16):
+        import cv2
+
+        h, w = image_hw
+        self.crop_size = crop_size
+        self.by_id: dict[tuple, list[np.ndarray]] = {}
+        for seq in ds.sequences:
+            data = ds.load_sequence(seq, h, w, max_objects)
+            for t in range(len(data["gt_labels"])):
+                lab = np.asarray(data["gt_labels"][t])
+                img = np.asarray(data["frames"][t]).astype(np.float32) / 255.0
+                for obj in [int(i) for i in np.unique(lab) if i > 0]:
+                    m = lab == obj
+                    if m.sum() < min_area:
+                        continue
+                    ys, xs = np.nonzero(m)
+                    crop = img[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+                    if crop.size == 0:
+                        continue
+                    crop = cv2.resize(crop, (crop_size, crop_size))
+                    self.by_id.setdefault((seq, obj), []).append(crop)
+        # identities need >= 2 views for batch-hard positives
+        self.ids = sorted(k for k, v in self.by_id.items() if len(v) >= 2)
+
+    def pk_batch(self, rng, p: int = 8, k: int = 4):
+        p = min(p, len(self.ids))
+        chosen = rng.choice(len(self.ids), size=p, replace=False)
+        crops, ids = [], []
+        for i, ci in enumerate(chosen):
+            views = self.by_id[self.ids[int(ci)]]
+            for _ in range(k):
+                crops.append(views[rng.integers(0, len(views))])
+            ids.extend([i] * k)
+        return np.stack(crops).astype(np.float32), np.asarray(ids, np.int32)

@@ -17,6 +17,7 @@ by tests.
 from __future__ import annotations
 
 import os
+import warnings
 from pathlib import Path
 
 import numpy as np
@@ -100,11 +101,24 @@ class DavisDataset:
         # (YouTube-VOS introduces objects mid-sequence; DAVIS always frame 0).
         ids: list[int] = []
         intro: list[int] = []
+        dropped: list[int] = []
         for fi, lab in enumerate(gt_labels):
             for i in np.unique(lab):
-                if 0 < i <= 255 and i not in ids and len(ids) < max_objects:
-                    ids.append(int(i))
-                    intro.append(fi)
+                if 0 < i <= 255 and i not in ids and i not in dropped:
+                    if len(ids) < max_objects:
+                        ids.append(int(i))
+                        intro.append(fi)
+                    else:
+                        dropped.append(int(i))
+        if dropped:
+            # Silently losing objects would still report a plausible-looking
+            # J&F — make the truncation impossible to miss.
+            warnings.warn(
+                f"sequence '{seq}' has {len(ids) + len(dropped)} annotated "
+                f"objects but max_objects={max_objects}; DROPPING object ids "
+                f"{dropped}. Raise PipelineConfig.max_objects to track them.",
+                stacklevel=2,
+            )
         num_objects = len(ids)
         gt_masks = np.zeros((max_objects, height, width), np.float32)
         intro_frames = np.zeros((max_objects,), np.int32)

@@ -226,10 +226,21 @@ def finetune_proposals(
         im = (im.astype(jnp.float32) / 255.0 - mean) / std
         return base_loss(p, (im, gb, gm.astype(jnp.float32), gv, sd))
 
+    def resalt_seeds(batch, key):
+        # Fold a fresh per-step salt into the per-item augmentation seeds so
+        # resampling the same pool item yields a different augmentation each
+        # step (the pool itself is static on device).
+        im, gb, gm, gv, sd = batch
+        salt = jax.random.randint(
+            key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        ).astype(jnp.uint32)
+        return im, gb, gm, gv, sd + salt
+
     tx = optax.adam(ft_cfg.learning_rate)
     state = replicate_state(create_train_state(params, tx), mesh)
     step, pool_d = make_pool_train_step(
-        loss_fn, tx, mesh, (imgs, gt_boxes, gt_masks, gt_valid, seeds), bs
+        loss_fn, tx, mesh, (imgs, gt_boxes, gt_masks, gt_valid, seeds), bs,
+        batch_transform=resalt_seeds,
     )
     base_key = jax.random.PRNGKey(seed)
     loss = float("nan")

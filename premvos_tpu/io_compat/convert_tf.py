@@ -132,7 +132,16 @@ def table_rule(table: dict) -> Rule:
         v = table.get(name)
         if v is None:
             return None
-        if isinstance(v, tuple) and len(v) == 2 and isinstance(v[1], str) and v[1] in _TRANSFORMS:
+        # (path, transform) is distinguished STRUCTURALLY: its first element
+        # is itself a tuple (the flax path). A bare length-2 flax path like
+        # ("module", "kernel") has a str first element, so a leaf that
+        # happens to be named like a transform can never be misparsed.
+        if (
+            isinstance(v, tuple)
+            and len(v) == 2
+            and isinstance(v[0], tuple)
+            and isinstance(v[1], str)
+        ):
             return v
         return v, "none"
 

@@ -69,7 +69,11 @@ def resample2d(src: jnp.ndarray, flow: jnp.ndarray, mode: str = "bilinear"):
     ).reshape(h, w, 2, 2, c)
     top = patches[:, :, 0, 0] * (1 - wx) + patches[:, :, 0, 1] * wx
     bot = patches[:, :, 1, 0] * (1 - wx) + patches[:, :, 1, 1] * wx
-    return top * (1 - wy) + bot * wy
+    out = top * (1 - wy) + bot * wy
+    # The gather ran in fp32 (see above); restore the promoted dtype of
+    # (src, flow) so bf16-pipeline callers get bf16 back, matching
+    # resample2d_reference's dtype exactly.
+    return out.astype(jnp.promote_types(src.dtype, flow.dtype))
 
 
 def resample2d_reference(src, flow, mode: str = "bilinear"):

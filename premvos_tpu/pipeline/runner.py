@@ -286,7 +286,7 @@ def merge_labels_from_precomputed(
     gt_masks: jnp.ndarray,
     num_objects,
     weights: jnp.ndarray,
-    warp_stride: int = 2,
+    warp_stride: int = 1,
 ):
     """Replay ONLY the merge scan over precomputed stage outputs.
 

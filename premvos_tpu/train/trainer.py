@@ -81,6 +81,7 @@ def make_pool_train_step(
     pool,
     batch_size: int,
     axis: str = "data",
+    batch_transform: Callable | None = None,
 ):
     """DP train step that samples batches from a DEVICE-RESIDENT pool.
 
@@ -123,6 +124,11 @@ def make_pool_train_step(
         key = jax.random.fold_in(base_key, state.step)
         idx = jax.random.randint(key, (bs,), 0, pool_n)
         batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), pool_d)
+        if batch_transform is not None:
+            # Per-step hook (runs on device, jitted): lets callers re-salt
+            # per-item augmentation seeds each step so a resampled pool item
+            # is not augmented identically for the whole run.
+            batch = batch_transform(batch, jax.random.fold_in(key, 1))
         return inner(state, batch)
 
     run.mesh = mesh

@@ -47,8 +47,12 @@ WEIGHT_NAMES = (
 )
 
 
-def evaluate_candidate(weights, precomputed, eval_fn, warp_stride=2):
-    """Mean J&F of one weight vector across all precomputed sequences."""
+def evaluate_candidate(weights, precomputed, warp_stride=1):
+    """Mean J&F of one weight vector across all precomputed sequences.
+
+    Each entry's gt_labels are already cropped to that sequence's own
+    original resolution, so the pipeline output is cropped per sequence
+    (sequences in a real dataset can differ in size)."""
     from premvos_tpu.eval.davis_eval import evaluate_dataset, evaluate_sequence
     from premvos_tpu.pipeline.runner import merge_labels_from_precomputed
 
@@ -60,7 +64,7 @@ def evaluate_candidate(weights, precomputed, eval_fn, warp_stride=2):
                 pre, gt_masks, num_objects, w, warp_stride=warp_stride
             )
         )
-        labels = eval_fn(labels)
+        labels = labels[:, : gt_labels.shape[1], : gt_labels.shape[2]]
         results.append(evaluate_sequence(labels, gt_labels, int(num_objects)))
     return evaluate_dataset(results)["J&F"], results
 
@@ -164,19 +168,15 @@ def main():
         )
         print(f"[precompute] {seq}: {frames.shape[0]} frames", flush=True)
 
-    def eval_crop(labels):
-        return labels[:, : precomputed[0][3].shape[1],
-                      : precomputed[0][3].shape[2]]
-
     rng = np.random.default_rng(args.seed)
     best_w, best_score = DEFAULT_WEIGHTS, -1.0
     ws = cfg.merge.warp_stride
-    baseline, _ = evaluate_candidate(DEFAULT_WEIGHTS, precomputed, eval_crop, ws)
+    baseline, _ = evaluate_candidate(DEFAULT_WEIGHTS, precomputed, ws)
     print(f"[tune] baseline (all-1.0) J&F = {baseline:.4f}", flush=True)
     best_score = baseline
     for t in range(args.trials):
         w = sample_weights(rng)
-        score, _ = evaluate_candidate(w, precomputed, eval_crop, ws)
+        score, _ = evaluate_candidate(w, precomputed, ws)
         mark = ""
         if score > best_score:
             best_w, best_score, mark = w, score, "  ← best"

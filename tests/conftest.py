@@ -22,6 +22,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: CPU compiles cache fine and the suite's wall time
+# was dominated by recompiling the big contract-test models every run.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PREMVOS_TEST_CACHE", "/tmp/premvos_jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

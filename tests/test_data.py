@@ -27,6 +27,24 @@ def test_davis_reader_roundtrip(tmp_path):
     assert lab.shape == (4, 64, 96)
 
 
+def test_davis_reader_warns_on_max_objects_truncation(tmp_path):
+    import pytest
+
+    root = make_synthetic_davis(tmp_path / "davis", t=2, hw=(64, 96),
+                                num_objects=3)
+    ds = DavisDataset(root)
+    with pytest.warns(UserWarning, match="max_objects=2.*DROPPING"):
+        seq = ds.load_sequence("seq_a", height=64, width=96, max_objects=2)
+    assert seq["num_objects"] == 2
+    # within the cap: no warning
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        seq = ds.load_sequence("seq_a", height=64, width=96, max_objects=4)
+    assert seq["num_objects"] == 3
+
+
 def test_davis_save_results(tmp_path):
     labels = np.zeros((2, 16, 16), np.uint8)
     labels[:, 2:6, 2:6] = 1
