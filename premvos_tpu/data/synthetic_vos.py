@@ -180,12 +180,18 @@ def build_sequence_spec(
     n_distractors: int = 1,
 ) -> list[EntitySpec]:
     """Sample one sequence's entities (tracked first, then distractors)."""
+    if t < 20:
+        raise ValueError(
+            f"sequence length t={t} too short for the event timeline "
+            "(crossing ~t/3, exit, parked frames, re-entry, settled tail) — "
+            "use t >= 20"
+        )
     h, w = hw
     entities: list[EntitySpec] = []
 
     # --- crossing construction: tracked 0 and 1 pass through a common point
     # near mid-sequence, from roughly opposite directions.
-    tc = int(rng.integers(6, min(11, t - 6)))
+    tc = int(rng.integers(6, min(11, t - 12)))  # exit window needs tc ≤ t−13
     c = np.array(
         [rng.uniform(0.35 * h, 0.65 * h), rng.uniform(0.35 * w, 0.65 * w)],
         np.float32,

@@ -266,6 +266,14 @@ class FlowNet2(nn.Module):
     corr_stride: int = 2
     div_flow: float = 20.0
     dtype: Any = jnp.float32
+    # Inter-network warp implementation. "block" = ops.resample2d_block, the
+    # block-sliced residual-window warp with no per-pixel gathers (exact for
+    # the smooth flows these warps consume — they are upsampled from
+    # 1/4-resolution predictions); "gather" = the XLA per-pixel gather path
+    # (the parity oracle; measured ~10 ms per 448×832 warp on v5e, which
+    # made the four in-net warps ~64% of the whole pipeline frame budget —
+    # docs/STAGE_BUDGET.md).
+    warp_impl: str = "block"
 
     def setup(self):
         self.flownetc = FlowNetC(
@@ -279,9 +287,16 @@ class FlowNet2(nn.Module):
             self.flownetsd = FlowNetSD(dtype=self.dtype)
             self.flownetfusion = FlowNetFusion(dtype=self.dtype)
 
+    def _warp(self, img, flow):
+        from premvos_tpu.ops.resample2d import resample2d_block
+
+        if self.warp_impl == "block":
+            return jax.vmap(resample2d_block)(img, flow)
+        return jax.vmap(resample2d)(img, flow)
+
     def _s_refine(self, net, img1, img2, flow_px):
         """One FlowNetS refinement pass at full resolution semantics."""
-        warped = jax.vmap(resample2d)(img2, flow_px)
+        warped = self._warp(img2, flow_px)
         err = channelnorm(img1 - warped)
         x = jnp.concatenate(
             [img1, img2, warped, flow_px / self.div_flow, err], axis=-1
@@ -322,8 +337,8 @@ class FlowNet2(nn.Module):
             flow_sd_q.astype(jnp.float32), hw, 4.0 * self.div_flow
         )
 
-        warped_css = jax.vmap(resample2d)(i2.astype(jnp.float32), flow_px)
-        warped_sd = jax.vmap(resample2d)(i2.astype(jnp.float32), flow_sd)
+        warped_css = self._warp(i2.astype(jnp.float32), flow_px)
+        warped_sd = self._warp(i2.astype(jnp.float32), flow_sd)
         err_css = channelnorm(i1.astype(jnp.float32) - warped_css)
         err_sd = channelnorm(i1.astype(jnp.float32) - warped_sd)
         mag_css = channelnorm(flow_px)

@@ -22,7 +22,7 @@ from premvos_tpu.ops.channelnorm import channelnorm
 from premvos_tpu.ops.correlation import correlation, correlation_reference
 from premvos_tpu.ops.masks import mask_iou, paste_mask
 from premvos_tpu.ops.nms import nms, nms_reference
-from premvos_tpu.ops.resample2d import resample2d
+from premvos_tpu.ops.resample2d import resample2d, resample2d_block
 from premvos_tpu.ops.roi_align import roi_align, roi_align_reference
 
 __all__ = [
@@ -39,6 +39,7 @@ __all__ = [
     "nms",
     "nms_reference",
     "resample2d",
+    "resample2d_block",
     "roi_align",
     "roi_align_reference",
 ]

@@ -76,6 +76,149 @@ def resample2d(src: jnp.ndarray, flow: jnp.ndarray, mode: str = "bilinear"):
     return out.astype(jnp.promote_types(src.dtype, flow.dtype))
 
 
+def resample2d_block(
+    src: jnp.ndarray,
+    flow: jnp.ndarray,
+    block: tuple = (8, 64),
+    residual: int = 4,
+    max_flow: int = 64,
+) -> jnp.ndarray:
+    """Block-sliced residual-window warp — the TPU-fast EXACT bilinear path.
+
+    XLA lowers per-pixel gathers to scalarized addressing (measured ~10 ms
+    for one 448×832×3 warp, ~15 ms for 8 packed 480×864 masks on v5e — see
+    scripts/bench_flow_breakdown.py), which made the in-net FlowNet2 warps
+    64 % of the pipeline frame budget. This formulation removes per-pixel
+    gathers entirely:
+
+      1. split the image into (by, bx) blocks; per block take ONE dynamic
+         slice of src at the block's mean integer displacement — a gather of
+         few LARGE slices, the one regime where TPU gathers are cheap;
+      2. the remaining per-pixel displacement (residual r = flow − block
+         mean) is bounded for smooth flow; cover it with a dense
+         (2R+2)×(2R+2) window of STATIC shifted fused multiply-adds over the
+         block — pure VPU work, bilinear weights `relu(1 − |t − d|)` pick
+         the right 2×2 corners per pixel.
+
+    EXACT (bit-comparable to `resample2d_reference` up to fp reassociation)
+    whenever |flow| ≤ `max_flow` and each pixel's integer displacement is
+    within `residual` of its block's rounded mean — always true for smooth
+    flow (FlowNet outputs are upsampled from 1/4-resolution predictions).
+    Image-border clamp semantics are reproduced exactly by edge padding:
+    out-of-image samples land in the padded margin whose values equal the
+    border pixel. Pixels beyond the residual window (violent motion
+    boundaries, where bilinear warp is ill-defined anyway) or beyond
+    max_flow clamp gracefully to the window edge.
+
+    src: [H, W, C]; flow: [H, W, 2]. Pads H/W internally to block multiples.
+    For warping K masks by one flow, pack them as channels ([H, W, K]) —
+    the windows and weights are shared across channels.
+    """
+    h, w, c = src.shape
+    by, bx = block
+    r = int(residual)
+    win = 2 * r + 2  # candidate displacements per axis
+    lf = float(max_flow)
+
+    # LOOSE clip (±max_flow, not into the image): pre-clipping to the image
+    # would create artificial residual spread in border clamp zones; the
+    # edge-padded margins below reproduce clamp semantics exactly instead.
+    yy = jnp.arange(h, dtype=flow.dtype)[:, None]
+    xx = jnp.arange(w, dtype=flow.dtype)[None, :]
+    sy = jnp.clip(yy + flow[..., 1], -lf, h - 1.0 + lf)
+    sx = jnp.clip(xx + flow[..., 0], -lf, w - 1.0 + lf)
+
+    hp, wp = -h % by, -w % bx
+    if hp or wp:
+        # pad the coordinate maps to block multiples (src itself is padded
+        # once below, together with the window margins)
+        sy = jnp.pad(sy, ((0, hp), (0, wp)), mode="edge")
+        sx = jnp.pad(sx, ((0, hp), (0, wp)), mode="edge")
+    hb, wb = h + hp, w + wp
+    nby, nbx = hb // by, wb // bx
+    winh, winw = by + win, bx + win
+
+    # [nby, nbx, by, bx] block view of the (clamped) source coordinates.
+    sy_b = sy.reshape(nby, by, nbx, bx).transpose(0, 2, 1, 3)
+    sx_b = sx.reshape(nby, by, nbx, bx).transpose(0, 2, 1, 3)
+
+    # Per-block integer base displacement: rounded mean of (source − own
+    # coordinate) over the block's VALID pixels only — padded pixels carry
+    # edge-clamped coordinates that would bias the mean and push real
+    # pixels' residuals out of the window.
+    oy = (jnp.arange(nby) * by)[:, None]
+    ox = (jnp.arange(nbx) * bx)[None, :]
+    yy_b = (oy[..., None, None] + jnp.arange(by)[:, None]).astype(flow.dtype)
+    xx_b = (ox[..., None, None] + jnp.arange(bx)[None, :]).astype(flow.dtype)
+    valid = jnp.logical_and(yy_b < h, xx_b < w).astype(flow.dtype)
+    nv = jnp.maximum(jnp.sum(valid, axis=(2, 3)), 1.0)
+    mean_dy = jnp.round(jnp.sum((sy_b - yy_b) * valid, axis=(2, 3)) / nv)
+    mean_dx = jnp.round(jnp.sum((sx_b - xx_b) * valid, axis=(2, 3)) / nv)
+
+    # Window starts in ORIGINAL coordinates (may be negative / past the
+    # border near image edges). Rather than clamping the start — which
+    # silently shifts residuals out of the window and breaks exactness for
+    # interior pixels of border blocks — pad the source with enough edge
+    # margin that every window fits: starts are bounded below by
+    # −max_flow−(by−1)−r and above by h−1+max_flow−r.
+    ws_y = oy + mean_dy.astype(jnp.int32) - r
+    ws_x = ox + mean_dx.astype(jnp.int32) - r
+    my, mx = by + r + int(lf), bx + r + int(lf)  # front margins
+    src_big = jnp.pad(
+        src,
+        (
+            (my, hp + by + r + 2 + int(lf)),
+            (mx, wp + bx + r + 2 + int(lf)),
+            (0, 0),
+        ),
+        mode="edge",
+    )
+
+    # One big slice per block: [nby·nbx, winh, winw, C].
+    starts = jnp.stack(
+        [
+            jnp.broadcast_to(ws_y + my, (nby, nbx)).reshape(-1),
+            jnp.broadcast_to(ws_x + mx, (nby, nbx)).reshape(-1),
+        ],
+        axis=-1,
+    )
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    f32 = jnp.float32
+    windows = jax.lax.gather(
+        src_big.astype(f32), starts, dnums, slice_sizes=(winh, winw, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [nb, winh, winw, C]
+
+    # Local target coordinates relative to (window start + own row/col):
+    # t ∈ [0, win−1] selects the displacement pair; clamp = graceful
+    # fallback for residual outliers AND image-border windows.
+    rr = jnp.arange(by, dtype=flow.dtype)[:, None]
+    qq = jnp.arange(bx, dtype=flow.dtype)[None, :]
+    t_y = sy_b - ws_y[..., None, None].astype(flow.dtype) - rr
+    t_x = sx_b - ws_x[..., None, None].astype(flow.dtype) - qq
+    t_y = jnp.clip(t_y, 0.0, win - 1.0).reshape(-1, by, bx, 1).astype(f32)
+    t_x = jnp.clip(t_x, 0.0, win - 1.0).reshape(-1, by, bx, 1).astype(f32)
+
+    out = jnp.zeros((nby * nbx, by, bx, c), f32)
+    for dy in range(win):
+        wv = jnp.maximum(0.0, 1.0 - jnp.abs(t_y - dy))
+        row = jnp.zeros((nby * nbx, by, bx, c), f32)
+        for dx in range(win):
+            wh = jnp.maximum(0.0, 1.0 - jnp.abs(t_x - dx))
+            row = row + wh * windows[:, dy : dy + by, dx : dx + bx, :]
+        out = out + wv * row
+    out = (
+        out.reshape(nby, nbx, by, bx, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(hb, wb, c)[:h, :w]
+    )
+    return out.astype(jnp.promote_types(src.dtype, flow.dtype))
+
+
 def resample2d_reference(src, flow, mode: str = "bilinear"):
     """Four-corner advanced-indexing formulation (parity oracle for tests)."""
     h, w, _ = src.shape

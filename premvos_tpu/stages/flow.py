@@ -41,17 +41,28 @@ def run_flow_pairs(model, params, frames, infer_hw=None):
     return flow
 
 
-def warp_masks(masks: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def warp_masks(
+    masks: jnp.ndarray, flow: jnp.ndarray, impl: str = "block"
+) -> jnp.ndarray:
     """Backward-warp [K, H, W] masks by one [H, W, 2] flow field.
 
-    Formulation chosen by measurement (scripts/bench_flow_breakdown.py,
-    TPU v5e): per-mask four-corner advanced indexing = 13.9/3.2/0.7 ms at
-    stride 1/2/4 for K=8 @480×864. Two rejected alternatives measured
-    catastrophically slower: vmapping the 2×2-patch gather over masks
-    (operand batching → ~100 ms/mask) and packing masks into the gather's
-    channel dim (~850 ms — tiny-slice gathers)."""
-    from premvos_tpu.ops.resample2d import resample2d_reference
+    impl="block" (default): masks packed as channels through
+    `ops.resample2d.resample2d_block` — the block-sliced residual-window
+    warp shares its window slices and bilinear weights across all K masks
+    and contains NO per-pixel gathers (exact for smooth flow; see the op's
+    docstring for the exactness envelope).
 
+    impl="gather": per-mask four-corner advanced indexing — the exact
+    XLA-gather path (measured 13.9/3.2/0.7 ms at stride 1/2/4 for K=8
+    @480×864 on v5e; kept as the parity oracle). Two other formulations
+    measured catastrophically slower on TPU: vmapping the 2×2-patch gather
+    over masks (operand batching → ~100 ms/mask) and packing masks into the
+    GATHER's channel dim (~850 ms — tiny-slice gathers)."""
+    from premvos_tpu.ops.resample2d import resample2d_block, resample2d_reference
+
+    if impl == "block":
+        packed = jnp.moveaxis(masks, 0, -1)  # [H, W, K]
+        return jnp.moveaxis(resample2d_block(packed, flow), -1, 0)
     warped = jax.vmap(
         lambda m: resample2d_reference(m[..., None], flow)[..., 0]
     )(masks)

@@ -32,41 +32,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from premvos_tpu.eval.harness import (  # noqa: E402
+    DEFAULT_WEIGHTS,
+    WEIGHT_NAMES,
+    evaluate_weights as evaluate_candidate,
+)
+
+
 def sample_weights(rng: np.random.Generator) -> np.ndarray:
     """Log-uniform weights, uniform score floor."""
     w = np.exp(rng.uniform(np.log(0.2), np.log(3.0), size=4))
     sigma = np.exp(rng.uniform(np.log(0.3), np.log(3.0)))
     floor = rng.uniform(0.0, 1.5)
     return np.array([*w, sigma, floor], np.float32)
-
-
-DEFAULT_WEIGHTS = np.array([1.0, 1.0, 1.0, 1.0, 1.0, 0.0], np.float32)
-WEIGHT_NAMES = (
-    "w_objectness", "w_reid", "w_warp", "w_overlap", "reid_sigma",
-    "new_object_score_floor",
-)
-
-
-def evaluate_candidate(weights, precomputed, warp_stride=1):
-    """Mean J&F of one weight vector across all precomputed sequences.
-
-    Each entry's gt_labels are already cropped to that sequence's own
-    original resolution, so the pipeline output is cropped per sequence
-    (sequences in a real dataset can differ in size)."""
-    from premvos_tpu.eval.davis_eval import evaluate_dataset, evaluate_sequence
-    from premvos_tpu.pipeline.runner import merge_labels_from_precomputed
-
-    results = []
-    w = jnp.asarray(weights)
-    for pre, gt_masks, num_objects, gt_labels in precomputed:
-        labels = np.asarray(
-            merge_labels_from_precomputed(
-                pre, gt_masks, num_objects, w, warp_stride=warp_stride
-            )
-        )
-        labels = labels[:, : gt_labels.shape[1], : gt_labels.shape[2]]
-        results.append(evaluate_sequence(labels, gt_labels, int(num_objects)))
-    return evaluate_dataset(results)["J&F"], results
 
 
 def main():
@@ -90,9 +68,7 @@ def main():
 
     from premvos_tpu.config import PremvosConfig, load_config
     from premvos_tpu.data.davis import DavisDataset, make_synthetic_davis
-    from premvos_tpu.pipeline.runner import (
-        build_models, init_params, precompute_sequence,
-    )
+    from premvos_tpu.pipeline.runner import build_models, init_params
 
     if args.demo:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
@@ -148,25 +124,12 @@ def main():
 
         params = load_params(args.checkpoint, like=params)
 
-    p = cfg.pipeline
+    from premvos_tpu.eval.harness import precompute_split
+
     sequences = ds.sequences[: args.max_seqs]
-    precomputed = []
-    for seq in sequences:
-        data = ds.load_sequence(
-            seq, p.image_height, p.image_width, p.max_objects,
-            max_frames=args.max_frames,
-        )
-        frames = jnp.asarray(data["frames"])
-        gt_masks = jnp.asarray(data["gt_masks"])
-        n_obj = jnp.int32(data["num_objects"])
-        pre = precompute_sequence(models, params, cfg, frames, gt_masks, n_obj)
-        pre = jax.tree.map(lambda x: x, pre)  # keep on device
-        # Crop eval back to the original resolution.
-        oh, ow = data["orig_hw"]
-        precomputed.append(
-            (pre, gt_masks, n_obj, np.asarray(data["gt_labels"])[:, :oh, :ow])
-        )
-        print(f"[precompute] {seq}: {frames.shape[0]} frames", flush=True)
+    precomputed = precompute_split(
+        models, params, cfg, ds, sequences, max_frames=args.max_frames
+    )
 
     rng = np.random.default_rng(args.seed)
     best_w, best_score = DEFAULT_WEIGHTS, -1.0

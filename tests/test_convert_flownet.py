@@ -120,7 +120,9 @@ def test_shape_mismatch_raises():
 
     model = FlowNet2(variant="flownetc", max_displacement=4)
     x = jnp.zeros((1, 64, 64, 3))
-    like = model.init(jax.random.PRNGKey(0), x, x)
+    # Only leaf SHAPES matter to the converter's mismatch check — eval_shape
+    # skips the init compile (was ~52 s of the fast suite).
+    like = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, x)
     sd = {"flownetc.conv1.0.weight": torch.zeros(64, 3, 7, 7)}
     with pytest.raises(ValueError):
         convert_flownet2_state_dict(sd, like)

@@ -84,7 +84,7 @@ def test_full_resnet50_mapping_structural(rng):
     """Synthetic torch-style state dict with the right shapes fully maps a
     ResNet-50 backbone tree (all backbone params consumed)."""
     model = ResNet(depth=50)
-    like = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    like = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
     blocks = {1: 3, 2: 4, 3: 6, 4: 3}
     widths = {1: 64, 2: 128, 3: 256, 4: 512}

@@ -90,7 +90,16 @@ def test_convert_tf_maskrcnn_roundtrip(frng):
             64, 64, cfg.anchor_scales, cfg.anchor_ratios
         ).items()
     }
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), anchors)
+    # Only leaf shapes/dtypes matter to the converter — eval_shape skips the
+    # init compile (was ~35 s of the fast suite); zeros materialize the tree
+    # for transforms that read array values.
+    params = jax.tree.map(
+        lambda s: np.zeros(s.shape, s.dtype),
+        jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            anchors,
+        ),
+    )
     flat = _flat(params)
 
     tf_vars = {"global_step": np.zeros(()), "learning_rate": np.ones(())}
@@ -138,7 +147,13 @@ def test_convert_tf_refine_roundtrip(frng):
     from premvos_tpu.models.deeplab import DeepLabV3Plus
 
     model = DeepLabV3Plus(cfg=RefineConfig(crop_size=33, backbone_depth=26))
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 33, 33, 4)))
+    # shapes only — see the maskrcnn roundtrip note
+    params = jax.tree.map(
+        lambda s: np.zeros(s.shape, s.dtype),
+        jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), jnp.zeros((1, 33, 33, 4))
+        ),
+    )
     flat = _flat(params)
 
     tf_vars = {"global_step": np.zeros(())}
@@ -178,7 +193,7 @@ def test_convert_tf_reid_roundtrip(frng):
     from premvos_tpu.models.reid import ReIDNet
 
     model = ReIDNet(cfg=ReIDConfig(backbone_depth=26, embedding_dim=8, crop_size=32))
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     flat = _flat(params)
 
     tf_vars = {"Adam/beta1_power": np.zeros(())}
@@ -203,7 +218,7 @@ def test_convert_shape_mismatch_fails(frng):
     from premvos_tpu.models.reid import ReIDNet
 
     model = ReIDNet(cfg=ReIDConfig(backbone_depth=26, embedding_dim=8, crop_size=32))
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     with pytest.raises(ValueError, match="shape"):
         convert_tf_dict(
             {"fc1/W": np.zeros((3, 3), np.float32)},
@@ -216,7 +231,7 @@ def test_convert_missing_required_fails(frng):
     from premvos_tpu.models.reid import ReIDNet
 
     model = ReIDNet(cfg=ReIDConfig(backbone_depth=26, embedding_dim=8, crop_size=32))
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     with pytest.raises(ValueError, match="missing"):
         convert_tf_reid({"fc1/W": np.zeros((2048, 1024), np.float32)}, params)
 
@@ -226,7 +241,7 @@ def test_unmapped_params_fall_back_to_like(frng):
     from premvos_tpu.models.reid import ReIDNet
 
     model = ReIDNet(cfg=ReIDConfig(backbone_depth=26, embedding_dim=8, crop_size=32))
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     flat = _flat(params)
     tf_vars = {
         "resnet/" + _tf_resnet_name(p[2:]): _rand_like(frng, a)

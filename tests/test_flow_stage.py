@@ -10,7 +10,7 @@ def test_run_flow_pairs_shapes_and_resize(rng):
     model = FlowNet2(variant="flownetc", max_displacement=4)
     frames = jnp.array(rng.uniform(0, 1, (3, 48, 80, 3)), jnp.float32)
     z = jnp.zeros((1, 64, 64, 3))
-    params = model.init(jax.random.PRNGKey(0), z, z)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), z, z)
     flow = run_flow_pairs(model, params, frames, infer_hw=(64, 64))
     assert flow.shape == (2, 48, 80, 2)
     assert bool(jnp.isfinite(flow).all())

@@ -25,7 +25,9 @@ def model_and_params():
         for k, v in pyramid_anchors(128, 128, TINY.anchor_scales, TINY.anchor_ratios).items()
     }
     img = jnp.zeros((1, 128, 128, 3))
-    params = model.init(jax.random.PRNGKey(0), img, anchors)
+    # jitted init: one compiled program instead of thousands of eager ops
+    # (eager init of this fixture measured 82 s on the CPU suite host)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img, anchors)
     return model, params, anchors
 
 
@@ -85,7 +87,13 @@ def test_maskrcnn_forward_shapes(model_and_params):
 
 
 def test_maskrcnn_batch(model_and_params):
+    # Shape-contract only — eval_shape traces without compiling (the batch-2
+    # compile alone cost ~53 s of the fast suite; batched NUMERICS are
+    # exercised by the pipeline stage tests via stages_batch).
     model, params, anchors = model_and_params
-    img = jnp.array(np.random.default_rng(1).standard_normal((2, 128, 128, 3)), jnp.float32)
-    out = model.apply(params, img, anchors)
-    assert out["boxes"].shape[0] == 2
+    img = jnp.zeros((2, 128, 128, 3), jnp.float32)
+    out = jax.eval_shape(model.apply, params, img, anchors)
+    d = TINY.detections_per_frame
+    assert out["boxes"].shape == (2, d, 4)
+    assert out["scores"].shape == (2, d)
+    assert out["mask_logits"].shape == (2, d, 28, 28)

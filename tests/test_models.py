@@ -8,6 +8,8 @@ from premvos_tpu.models import DeepLabV3Plus, FlowNet2, ReIDNet, ResNet
 
 
 def test_resnet_feature_strides(rng):
+    # eager init: a plain conv stack inits faster eagerly than the XLA
+    # compile of its init graph on CPU (10.6 s vs 53 s measured)
     model = ResNet(depth=50)
     x = jnp.zeros((1, 64, 64, 3))
     params = model.init(jax.random.PRNGKey(0), x)
@@ -21,7 +23,7 @@ def test_resnet_feature_strides(rng):
 def test_resnet_dilated_os16():
     model = ResNet(depth=50, output_stride=16)
     x = jnp.zeros((1, 64, 64, 3))
-    params = model.init(jax.random.PRNGKey(0), x)
+    params = model.init(jax.random.PRNGKey(0), x)  # eager: see above
     feats = model.apply(params, x)
     assert feats["C5"].shape == (1, 4, 4, 2048)  # same stride as C4
 
@@ -30,18 +32,25 @@ def test_deeplab_refine_shapes(rng):
     cfg = RefineConfig(crop_size=65, backbone_depth=26)
     model = DeepLabV3Plus(cfg=cfg)
     crops = jnp.array(rng.standard_normal((3, 65, 65, 4)), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), crops)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), crops)
     logits = model.apply(params, crops)
     assert logits.shape == (3, 65, 65)
     assert bool(jnp.isfinite(logits).all())
 
 
-@pytest.mark.parametrize("variant,", ["flownetc", "flownet2"])
+@pytest.mark.parametrize(
+    "variant,",
+    [
+        "flownetc",
+        # the full 5-net stack is a multi-30s compile — slow suite
+        pytest.param("flownet2", marks=pytest.mark.slow),
+    ],
+)
 def test_flownet_variants(rng, variant):
     model = FlowNet2(variant=variant, max_displacement=4, corr_stride=2)
     img1 = jnp.array(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
     img2 = jnp.array(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), img1, img2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img1, img2)
     flow = model.apply(params, img1, img2)
     assert flow.shape == (1, 64, 64, 2)
     assert flow.dtype == jnp.float32
@@ -52,7 +61,7 @@ def test_reid_embeddings(rng):
     cfg = ReIDConfig(backbone_depth=26, embedding_dim=16, crop_size=32)
     model = ReIDNet(cfg=cfg)
     crops = jnp.array(rng.standard_normal((5, 32, 32, 3)), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), crops)
+    params = model.init(jax.random.PRNGKey(0), crops)  # eager: see above
     emb = model.apply(params, crops)
     assert emb.shape == (5, 16)
     assert bool(jnp.isfinite(emb).all())

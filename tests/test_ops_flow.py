@@ -130,3 +130,83 @@ def test_warp_masks_coarse_close_to_exact(rng):
         warp_masks_coarse(jnp.asarray(masks), jnp.asarray(flow), 1)
     )
     np.testing.assert_array_equal(one, exact)
+
+
+def test_resample2d_block_exact_on_smooth_flow(rng):
+    """The block-sliced residual-window warp is EXACT (fp tolerance) against
+    the gather reference for smooth flows — constants, low-frequency fields,
+    border clamp zones, and non-block-multiple shapes."""
+    import numpy as np
+
+    from premvos_tpu.ops.resample2d import resample2d_block, resample2d_reference
+
+    h, w, c = 61, 93, 3  # deliberately not block multiples
+    src = jnp.array(rng.standard_normal((h, w, c)), jnp.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = jnp.array(
+        np.stack(
+            [9.0 + 3 * np.sin(2 * np.pi * yy / 48),
+             -6.0 + 2 * np.cos(2 * np.pi * xx / 40)], -1
+        ),
+        jnp.float32,
+    )
+    for flow in (
+        jnp.zeros((h, w, 2), jnp.float32),
+        jnp.full((h, w, 2), 17.3, jnp.float32),
+        jnp.full((h, w, 2), -23.7, jnp.float32),
+        jnp.full((h, w, 2), 500.0, jnp.float32),  # full out-of-image clamp
+        smooth,
+    ):
+        ref = resample2d_reference(src, flow)
+        blk = resample2d_block(src, flow)
+        np.testing.assert_allclose(np.asarray(blk), np.asarray(ref), atol=1e-4)
+
+
+def test_resample2d_block_fallback_bounded(rng):
+    """Non-smooth flow (iid noise — beyond the residual window) degrades
+    gracefully: finite, and bounded by the source value range (it is still a
+    convex combination of source pixels)."""
+    from premvos_tpu.ops.resample2d import resample2d_block
+
+    src = jnp.array(rng.uniform(0, 1, (40, 56, 2)), jnp.float32)
+    flow = jnp.array(rng.uniform(-30, 30, (40, 56, 2)), jnp.float32)
+    out = resample2d_block(src, flow)
+    assert bool(jnp.isfinite(out).all())
+    assert float(out.min()) >= -1e-5 and float(out.max()) <= 1.0 + 1e-5
+
+
+def test_warp_masks_block_matches_gather(rng):
+    """warp_masks default (packed-channel block path) == per-mask gather
+    path for smooth flow."""
+    import numpy as np
+
+    from premvos_tpu.stages.flow import warp_masks
+
+    k, h, w = 5, 48, 64
+    masks = (rng.uniform(0, 1, (k, h, w)) > 0.7).astype(np.float32)
+    masks = jnp.array(masks)
+    flow = jnp.full((h, w, 2), 3.4, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(warp_masks(masks, flow, impl="block")),
+        np.asarray(warp_masks(masks, flow, impl="gather")),
+        atol=1e-5,
+    )
+
+
+@__import__("pytest").mark.slow
+def test_flownet2_block_warp_close_to_gather(rng):
+    """Full FlowNet2 stack with block in-net warps stays close to the
+    gather-warp stack (random weights; in-net flows are smooth by
+    construction — upsampled from 1/4-res predictions)."""
+    import numpy as np
+
+    from premvos_tpu.models import FlowNet2
+
+    img1 = jnp.array(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    img2 = jnp.array(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    mb = FlowNet2(variant="flownet2", max_displacement=4, warp_impl="block")
+    mg = FlowNet2(variant="flownet2", max_displacement=4, warp_impl="gather")
+    params = jax.jit(mb.init)(jax.random.PRNGKey(0), img1, img2)
+    fb = mb.apply(params, img1, img2)
+    fg = mg.apply(params, img1, img2)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fg), atol=5e-4)
