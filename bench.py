@@ -29,11 +29,16 @@ def main():
     from premvos_tpu.config import MergeConfig, PremvosConfig
     from premvos_tpu.pipeline.runner import build_models, init_params, run_sequence
 
-    # Production perf preset: coarse warp (warp_stride 2). The config default
-    # is the exact stride-1 warp; stride 2 is overlap-parity tested and its
-    # held-out J&F impact is recorded in docs/SYNTHETIC_BENCHMARK.json.
+    # Production perf preset (mirrors configs/davis2017_val.json): coarse
+    # stride-2 mask warp + bf16 crop/paste interpolation. Config defaults
+    # are the exact/parity settings (stride 1, fp32 interp); the perf
+    # choices' held-out J&F impact is recorded in
+    # docs/SYNTHETIC_BENCHMARK.json.
+    base = PremvosConfig()
     cfg = dataclasses.replace(
-        PremvosConfig(), merge=MergeConfig(warp_stride=2)
+        base,
+        merge=dataclasses.replace(base.merge, warp_stride=2),
+        refine=dataclasses.replace(base.refine, interp_precision="default"),
     )
     models = build_models(cfg)
     params = init_params(models, cfg, jax.random.PRNGKey(0))

@@ -56,6 +56,12 @@ class RefineConfig:
     low_level_channels: int = 48
     # 4th input channel encodes the coarse mask/box prior.
     in_channels: int = 4
+    # Matmul precision of the crop/paste interpolation einsums
+    # ("highest" = full fp32, the parity default; "default" = bf16 — these
+    # einsums are ~70 GFLOP/frame at 32×385² scale, and bf16's ~0.4 % weight
+    # error sits below the 1/255 image quantization; J&F impact measured in
+    # docs/SYNTHETIC_BENCHMARK.json).
+    interp_precision: str = "highest"
 
 
 @dataclass(frozen=True)
@@ -69,6 +75,10 @@ class FlowConfig:
     infer_height: int = 448
     infer_width: int = 832
     div_flow: float = 20.0  # reference trains on flow/20, rescales at output
+    # In-net warp implementation: "block" (block-sliced residual-window
+    # warp, ~10× faster on TPU, exact for smooth flow) | "gather" (XLA
+    # per-pixel gather — the reference-exact oracle).
+    warp_impl: str = "block"
 
 
 @dataclass(frozen=True)
@@ -105,6 +115,8 @@ class MergeConfig:
     # bench.py) opt into 2; held-out accuracy at both strides is recorded in
     # docs/SYNTHETIC_BENCHMARK.json.
     warp_stride: int = 1
+    # Mask-warp implementation: "block" | "gather" (see FlowConfig.warp_impl).
+    warp_impl: str = "block"
 
 
 @dataclass(frozen=True)

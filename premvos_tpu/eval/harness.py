@@ -65,7 +65,9 @@ def precompute_split(
     return out
 
 
-def evaluate_weights(precomputed: list, weights, warp_stride: int = 1):
+def evaluate_weights(
+    precomputed: list, weights, warp_stride: int = 1, warp_impl: str = "block"
+):
     """Mean J&F of one weight vector across precomputed sequences.
 
     Returns (dataset J&F, per-sequence result list)."""
@@ -77,7 +79,8 @@ def evaluate_weights(precomputed: list, weights, warp_stride: int = 1):
     for pre, gt_masks, num_objects, gt_labels in precomputed:
         labels = np.asarray(
             merge_labels_from_precomputed(
-                pre, gt_masks, num_objects, w, warp_stride=warp_stride
+                pre, gt_masks, num_objects, w, warp_stride=warp_stride,
+                warp_impl=warp_impl,
             )
         )
         labels = labels[:, : gt_labels.shape[1], : gt_labels.shape[2]]

@@ -291,7 +291,8 @@ class FlowNet2(nn.Module):
         from premvos_tpu.ops.resample2d import resample2d_block
 
         if self.warp_impl == "block":
-            return jax.vmap(resample2d_block)(img, flow)
+            # batched natively (the Pallas path cannot be vmapped)
+            return resample2d_block(img, flow)
         return jax.vmap(resample2d)(img, flow)
 
     def _s_refine(self, net, img1, img2, flow_px):

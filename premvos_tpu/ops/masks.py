@@ -50,6 +50,7 @@ def paste_mask(
     box: jnp.ndarray,
     height: int,
     width: int,
+    precision=None,
 ) -> jnp.ndarray:
     """Paste an [M, M] mask predicted for xyxy `box` into an [height, width]
     canvas (bilinear, zero outside the box).
@@ -83,6 +84,8 @@ def paste_mask(
     eye = jnp.eye(m, dtype=mask.dtype)
     wy = eye[y0[:, 0]] * wy0 + eye[y1i[:, 0]] * wy1  # [H, M]
     wx = eye[x0[0, :]] * wx0[0, :, None] + eye[x1i[0, :]] * wx1[0, :, None]  # [W, M]
-    # fp32 matmuls: bilinear paste weights at bf16 shift mask boundaries.
-    hi = jax.lax.Precision.HIGHEST
+    # fp32 matmuls by default: bilinear paste weights at bf16 shift mask
+    # boundaries sub-pixel. Perf presets pass a lower precision (measured
+    # J&F impact recorded in docs/SYNTHETIC_BENCHMARK.json).
+    hi = jax.lax.Precision.HIGHEST if precision is None else precision
     return jnp.matmul(jnp.matmul(wy, mask, precision=hi), wx.T, precision=hi)

@@ -76,44 +76,12 @@ def resample2d(src: jnp.ndarray, flow: jnp.ndarray, mode: str = "bilinear"):
     return out.astype(jnp.promote_types(src.dtype, flow.dtype))
 
 
-def resample2d_block(
-    src: jnp.ndarray,
-    flow: jnp.ndarray,
-    block: tuple = (8, 64),
-    residual: int = 4,
-    max_flow: int = 64,
-) -> jnp.ndarray:
-    """Block-sliced residual-window warp — the TPU-fast EXACT bilinear path.
+def _block_prep(src, flow, block, residual, max_flow):
+    """Shared preprocessing for the block warp (XLA and Pallas paths).
 
-    XLA lowers per-pixel gathers to scalarized addressing (measured ~10 ms
-    for one 448×832×3 warp, ~15 ms for 8 packed 480×864 masks on v5e — see
-    scripts/bench_flow_breakdown.py), which made the in-net FlowNet2 warps
-    64 % of the pipeline frame budget. This formulation removes per-pixel
-    gathers entirely:
-
-      1. split the image into (by, bx) blocks; per block take ONE dynamic
-         slice of src at the block's mean integer displacement — a gather of
-         few LARGE slices, the one regime where TPU gathers are cheap;
-      2. the remaining per-pixel displacement (residual r = flow − block
-         mean) is bounded for smooth flow; cover it with a dense
-         (2R+2)×(2R+2) window of STATIC shifted fused multiply-adds over the
-         block — pure VPU work, bilinear weights `relu(1 − |t − d|)` pick
-         the right 2×2 corners per pixel.
-
-    EXACT (bit-comparable to `resample2d_reference` up to fp reassociation)
-    whenever |flow| ≤ `max_flow` and each pixel's integer displacement is
-    within `residual` of its block's rounded mean — always true for smooth
-    flow (FlowNet outputs are upsampled from 1/4-resolution predictions).
-    Image-border clamp semantics are reproduced exactly by edge padding:
-    out-of-image samples land in the padded margin whose values equal the
-    border pixel. Pixels beyond the residual window (violent motion
-    boundaries, where bilinear warp is ill-defined anyway) or beyond
-    max_flow clamp gracefully to the window edge.
-
-    src: [H, W, C]; flow: [H, W, 2]. Pads H/W internally to block multiples.
-    For warping K masks by one flow, pack them as channels ([H, W, K]) —
-    the windows and weights are shared across channels.
-    """
+    Returns (src_big [C, Hpad, Wpad] channel-first edge-padded, starts
+    [nb, 2] int32 window origins into src_big, t_y/t_x [nb, by, bx] f32
+    local target coords, geom dict)."""
     h, w, c = src.shape
     by, bx = block
     r = int(residual)
@@ -164,34 +132,30 @@ def resample2d_block(
     ws_y = oy + mean_dy.astype(jnp.int32) - r
     ws_x = ox + mean_dx.astype(jnp.int32) - r
     my, mx = by + r + int(lf), bx + r + int(lf)  # front margins
+    # CHANNEL-FIRST internal layout: the window column axis (bx-wide, a
+    # multiple of the 128-lane vector width for good block choices) must be
+    # the minor dim — channels-minor wastes (128 − C)/128 of every vector
+    # (measured 6× slower for C=8 packed masks).
+    # After-margins carry extra slack so the Pallas path's (8, 128)
+    # tile-ALIGNED window DMAs (start rounded down + padded shape) stay in
+    # bounds.
     src_big = jnp.pad(
-        src,
+        jnp.moveaxis(src, -1, 0),
         (
-            (my, hp + by + r + 2 + int(lf)),
-            (mx, wp + bx + r + 2 + int(lf)),
             (0, 0),
+            (my, hp + by + r + 2 + int(lf) + 40),
+            (mx, wp + bx + r + 2 + int(lf) + 384),
         ),
         mode="edge",
     )
 
-    # One big slice per block: [nby·nbx, winh, winw, C].
     starts = jnp.stack(
         [
             jnp.broadcast_to(ws_y + my, (nby, nbx)).reshape(-1),
             jnp.broadcast_to(ws_x + mx, (nby, nbx)).reshape(-1),
         ],
         axis=-1,
-    )
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3),
-        collapsed_slice_dims=(),
-        start_index_map=(0, 1),
-    )
-    f32 = jnp.float32
-    windows = jax.lax.gather(
-        src_big.astype(f32), starts, dnums, slice_sizes=(winh, winw, c),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # [nb, winh, winw, C]
+    ).astype(jnp.int32)
 
     # Local target coordinates relative to (window start + own row/col):
     # t ∈ [0, win−1] selects the displacement pair; clamp = graceful
@@ -200,23 +164,132 @@ def resample2d_block(
     qq = jnp.arange(bx, dtype=flow.dtype)[None, :]
     t_y = sy_b - ws_y[..., None, None].astype(flow.dtype) - rr
     t_x = sx_b - ws_x[..., None, None].astype(flow.dtype) - qq
-    t_y = jnp.clip(t_y, 0.0, win - 1.0).reshape(-1, by, bx, 1).astype(f32)
-    t_x = jnp.clip(t_x, 0.0, win - 1.0).reshape(-1, by, bx, 1).astype(f32)
+    t_y = jnp.clip(t_y, 0.0, win - 1.0).reshape(-1, by, bx).astype(jnp.float32)
+    t_x = jnp.clip(t_x, 0.0, win - 1.0).reshape(-1, by, bx).astype(jnp.float32)
 
-    out = jnp.zeros((nby * nbx, by, bx, c), f32)
+    geom = dict(
+        h=h, w=w, c=c, hb=hb, wb=wb, nby=nby, nbx=nbx, by=by, bx=bx,
+        winh=winh, winw=winw, win=win,
+    )
+    return src_big, starts, t_y, t_x, geom
+
+
+def _block_reassemble(out, geom, out_dtype):
+    """[nb, C, by, bx] block outputs → [H, W, C]."""
+    g = geom
+    out = (
+        out.reshape(g["nby"], g["nbx"], g["c"], g["by"], g["bx"])
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(g["c"], g["hb"], g["wb"])[:, : g["h"], : g["w"]]
+    )
+    return jnp.moveaxis(out, 0, -1).astype(out_dtype)
+
+
+def resample2d_block(
+    src: jnp.ndarray,
+    flow: jnp.ndarray,
+    block: tuple | None = None,
+    residual: int = 4,
+    max_flow: int = 64,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Block-sliced residual-window warp — the TPU-fast EXACT bilinear path.
+
+    XLA lowers per-pixel gathers to scalarized addressing (measured ~10 ms
+    for one 448×832×3 warp, ~15 ms for 8 packed 480×864 masks on v5e — see
+    scripts/bench_flow_breakdown.py), which made the in-net FlowNet2 warps
+    64 % of the pipeline frame budget. This formulation removes per-pixel
+    gathers entirely:
+
+      1. split the image into (by, bx) blocks; per block take ONE dynamic
+         slice of src at the block's mean integer displacement — a gather of
+         few LARGE slices, the one regime where TPU gathers are cheap;
+      2. the remaining per-pixel displacement (residual r = flow − block
+         mean) is bounded for smooth flow; cover it with a dense
+         (2R+2)×(2R+2) window of STATIC shifted fused multiply-adds over the
+         block — pure VPU work, bilinear weights `relu(1 − |t − d|)` pick
+         the right 2×2 corners per pixel.
+
+    EXACT (bit-comparable to `resample2d_reference` up to fp reassociation)
+    whenever |flow| ≤ `max_flow` and each pixel's integer displacement is
+    within `residual` of its block's rounded mean — always true for smooth
+    flow (FlowNet outputs are upsampled from 1/4-resolution predictions).
+    Image-border clamp semantics are reproduced exactly by edge padding:
+    out-of-image samples land in the padded margin whose values equal the
+    border pixel. Pixels beyond the residual window (violent motion
+    boundaries, where bilinear warp is ill-defined anyway) or beyond
+    max_flow clamp gracefully to the window edge.
+
+    src: [H, W, C]; flow: [H, W, 2]. Pads H/W internally to block multiples.
+    For warping K masks by one flow, pack them as channels ([H, W, K]) —
+    the windows and weights are shared across channels.
+
+    On TPU the residual-window accumulation runs as a Pallas kernel
+    (ops/pallas/resample2d_pallas.py) that keeps the whole window sum in
+    VMEM; the pure-XLA path below is the fallback/oracle (each of the win²
+    shifted FMAs round-trips HBM — measured ~8 ms for 8 packed 480×864
+    masks vs sub-ms for the kernel). `PREMVOS_PALLAS=0` kills the kernel.
+    `block=None` picks (8, 128) for the kernel (small blocks keep the
+    exactness envelope tight and cost the kernel nothing) and (32, 128) for
+    the XLA path (fewer, larger blocks amortize its HBM round-trips).
+    """
+    import os
+
+    if use_pallas is None:
+        use_pallas = (
+            os.environ.get("PREMVOS_PALLAS", "1") != "0"
+            and jax.default_backend() != "cpu"
+        )
+    if block is None:
+        block = (8, 128) if use_pallas else (32, 128)
+    out_dtype = jnp.promote_types(src.dtype, flow.dtype)
+
+    if use_pallas:
+        from premvos_tpu.ops.pallas.resample2d_pallas import (
+            resample2d_block_pallas,
+        )
+
+        # batched ([B, H, W, C]) input maps to more kernel blocks natively
+        return resample2d_block_pallas(
+            src, flow, block=block, residual=residual, max_flow=max_flow
+        )
+    if src.ndim == 4:
+        return jax.vmap(
+            lambda s, f: resample2d_block(
+                s, f, block, residual, max_flow, use_pallas=False
+            )
+        )(src, flow)
+
+    src_big, starts, t_y, t_x, g = _block_prep(
+        src, flow, block, residual, max_flow
+    )
+    c, by, bx, win = g["c"], g["by"], g["bx"], g["win"]
+
+    # One big slice per block: [nb, C, winh, winw].
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+    )
+    f32 = jnp.float32
+    windows = jax.lax.gather(
+        src_big.astype(f32), starts, dnums,
+        slice_sizes=(c, g["winh"], g["winw"]),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+
+    t_y = t_y[:, None]  # [nb, 1, by, bx] broadcast over C
+    t_x = t_x[:, None]
+    nb = windows.shape[0]
+    out = jnp.zeros((nb, c, by, bx), f32)
     for dy in range(win):
         wv = jnp.maximum(0.0, 1.0 - jnp.abs(t_y - dy))
-        row = jnp.zeros((nby * nbx, by, bx, c), f32)
+        row = jnp.zeros((nb, c, by, bx), f32)
         for dx in range(win):
             wh = jnp.maximum(0.0, 1.0 - jnp.abs(t_x - dx))
-            row = row + wh * windows[:, dy : dy + by, dx : dx + bx, :]
+            row = row + wh * windows[:, :, dy : dy + by, dx : dx + bx]
         out = out + wv * row
-    out = (
-        out.reshape(nby, nbx, by, bx, c)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(hb, wb, c)[:h, :w]
-    )
-    return out.astype(jnp.promote_types(src.dtype, flow.dtype))
+    return _block_reassemble(out, g, out_dtype)
 
 
 def resample2d_reference(src, flow, mode: str = "bilinear"):

@@ -49,6 +49,7 @@ def build_models(cfg: PremvosConfig, dtype=None) -> Models:
             corr_stride=cfg.flow.corr_stride,
             div_flow=cfg.flow.div_flow,
             dtype=dtype,
+            warp_impl=cfg.flow.warp_impl,
         ),
         reid=ReIDNet(cfg=cfg.reid, dtype=dtype),
     )
@@ -136,9 +137,12 @@ def frame_step(
         models.refine, params["refine"], img_n[0], boxes, mask_logits, valid,
         cfg.refine,
     )
-    prop_masks = refined_fullres(ref_logits, crop_boxes, valid, h, w).astype(
-        jnp.dtype(p.dtype)
-    )
+    from premvos_tpu.stages.refine import interp_precision
+
+    prop_masks = refined_fullres(
+        ref_logits, crop_boxes, valid, h, w,
+        interp_precision(cfg.refine.interp_precision),
+    ).astype(jnp.dtype(p.dtype))
 
     # Stage 3 — backward flow (current → previous) at the flow net's grid.
     fh, fw = cfg.flow.infer_height, cfg.flow.infer_width
@@ -186,9 +190,12 @@ def stages_batch(models, params, anchors, cfg, frames_chunk, prev_chunk):
     n = boxes.shape[1]
 
     # Stage 2 — refinement on all C·N crops in one dispatch.
+    from premvos_tpu.stages.refine import interp_precision
+
+    prec = interp_precision(cfg.refine.interp_precision)
     crops, crop_boxes = jax.vmap(
         lambda im, b, ml: make_refine_crops(
-            im, b, ml, cfg.refine.crop_size, cfg.refine.box_margin
+            im, b, ml, cfg.refine.crop_size, cfg.refine.box_margin, prec
         )
     )(imgs, boxes, mask_logits)
     s = cfg.refine.crop_size
@@ -196,9 +203,9 @@ def stages_batch(models, params, anchors, cfg, frames_chunk, prev_chunk):
         params["refine"], crops.reshape(c * n, s, s, crops.shape[-1])
     ).reshape(c, n, s, s)
     ref_logits = ref_logits * valid[..., None, None].astype(ref_logits.dtype)
-    prop_masks = jax.vmap(refined_fullres, in_axes=(0, 0, 0, None, None))(
-        ref_logits, crop_boxes, valid, h, w
-    ).astype(jnp.dtype(p.dtype))
+    prop_masks = jax.vmap(
+        lambda rl, cb, v: refined_fullres(rl, cb, v, h, w, prec)
+    )(ref_logits, crop_boxes, valid).astype(jnp.dtype(p.dtype))
 
     # Stage 3 — backward flow for all C pairs at once.
     fh, fw = cfg.flow.infer_height, cfg.flow.infer_width
@@ -280,13 +287,14 @@ def precompute_sequence(
     }
 
 
-@partial(jax.jit, static_argnames=("warp_stride",))
+@partial(jax.jit, static_argnames=("warp_stride", "warp_impl"))
 def merge_labels_from_precomputed(
     pre: dict,
     gt_masks: jnp.ndarray,
     num_objects,
     weights: jnp.ndarray,
     warp_stride: int = 1,
+    warp_impl: str = "block",
 ):
     """Replay ONLY the merge scan over precomputed stage outputs.
 
@@ -305,6 +313,7 @@ def merge_labels_from_precomputed(
         reid_sigma=weights[4],
         new_object_score_floor=weights[5],
         warp_stride=warp_stride,
+        warp_impl=warp_impl,
     )
     state = init_state(gt_masks, pre["gt_emb"], num_objects)
 

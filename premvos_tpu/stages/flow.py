@@ -70,7 +70,7 @@ def warp_masks(
 
 
 def warp_masks_coarse(
-    masks: jnp.ndarray, flow: jnp.ndarray, stride: int
+    masks: jnp.ndarray, flow: jnp.ndarray, stride: int, impl: str = "block"
 ) -> jnp.ndarray:
     """Backward-warp at 1/stride resolution, then upsample.
 
@@ -82,12 +82,12 @@ def warp_masks_coarse(
     stride=1 falls back to the exact path.
     """
     if stride <= 1:
-        return warp_masks(masks, flow)
+        return warp_masks(masks, flow, impl)
     k, h, w = masks.shape
     hs, ws = h // stride, w // stride
     flow_s = (
         jax.image.resize(flow, (hs, ws, 2), "bilinear") / float(stride)
     )
     masks_s = jax.image.resize(masks, (k, hs, ws), "bilinear")
-    warped_s = warp_masks(masks_s, flow_s)
+    warped_s = warp_masks(masks_s, flow_s, impl)
     return jax.image.resize(warped_s, (k, h, w), "bilinear")

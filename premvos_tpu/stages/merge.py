@@ -162,7 +162,7 @@ def merge_frame(
         # protocol); it is excluded from this frame's assignment.
         new_active, intro_masks = intro
     warped = warp_masks_coarse(
-        state.prev_masks, flow_back, cfg.warp_stride
+        state.prev_masks, flow_back, cfg.warp_stride, cfg.warp_impl
     )  # [K, H, W]
     s = score_matrix(
         state, warped, prop_masks, prop_scores, prop_emb, prop_valid, cfg

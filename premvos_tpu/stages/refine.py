@@ -28,12 +28,25 @@ def expand_boxes(boxes: jnp.ndarray, margin: float, height, width) -> jnp.ndarra
     return jnp.stack([x1, y1, x2, y2], axis=-1)
 
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def interp_precision(name: str | None):
+    """RefineConfig.interp_precision string → jax.lax.Precision (None→None)."""
+    return None if name is None else _PRECISIONS[name]
+
+
 def make_refine_crops(
     image: jnp.ndarray,
     boxes: jnp.ndarray,
     mask_logits: jnp.ndarray,
     crop_size: int = 385,
     margin: float = 50.0,
+    precision=None,
 ):
     """Build the 4-channel refinement inputs for one frame.
 
@@ -53,7 +66,7 @@ def make_refine_crops(
         ],
         axis=-1,
     )
-    rgb = crop_and_resize(image, norm, crop_size)  # [N, S, S, 3]
+    rgb = crop_and_resize(image, norm, crop_size, precision)  # [N, S, S, 3]
 
     # Mask channel: paste the coarse box-frame mask into crop coordinates.
     # The proposal box, expressed in the crop frame, is an affine remap of
@@ -72,9 +85,9 @@ def make_refine_crops(
         axis=-1,
     )
     probs = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
-    mask_ch = jax.vmap(paste_mask, in_axes=(0, 0, None, None))(
-        probs, box_in_crop, crop_size, crop_size
-    )
+    mask_ch = jax.vmap(
+        lambda m, b: paste_mask(m, b, crop_size, crop_size, precision)
+    )(probs, box_in_crop)
     crops = jnp.concatenate([rgb, mask_ch[..., None]], axis=-1)
     return crops, crop_boxes
 
@@ -86,17 +99,20 @@ def run_refine(model, params, image, boxes, mask_logits, valid, cfg):
     via `refined_fullres`.
     """
     crops, crop_boxes = make_refine_crops(
-        image, boxes, mask_logits, cfg.crop_size, cfg.box_margin
+        image, boxes, mask_logits, cfg.crop_size, cfg.box_margin,
+        interp_precision(cfg.interp_precision),
     )
     logits = model.apply(params, crops)  # [N, S, S]
     logits = logits * valid[:, None, None].astype(logits.dtype)
     return logits, crop_boxes
 
 
-def refined_fullres(refine_logits, crop_boxes, valid, height, width):
+def refined_fullres(
+    refine_logits, crop_boxes, valid, height, width, precision=None
+):
     """[N, S, S] crop-frame logits → [N, H, W] soft masks (0 where invalid)."""
     probs = jax.nn.sigmoid(refine_logits.astype(jnp.float32))
-    pasted = jax.vmap(paste_mask, in_axes=(0, 0, None, None))(
-        probs, crop_boxes, height, width
-    )
+    pasted = jax.vmap(
+        lambda m, b: paste_mask(m, b, height, width, precision)
+    )(probs, crop_boxes)
     return pasted * valid[:, None, None].astype(pasted.dtype)

@@ -62,6 +62,12 @@ ABLATIONS = (
 )
 
 
+def _rebuild_models(cfg):
+    from premvos_tpu.pipeline.runner import build_models
+
+    return build_models(cfg)
+
+
 def ablation_weights(overrides: dict) -> np.ndarray:
     from premvos_tpu.eval.harness import DEFAULT_WEIGHTS, WEIGHT_NAMES
 
@@ -300,6 +306,33 @@ def main(argv=None):
         ws2, _ = evaluate_weights(precomputed, DEFAULT_WEIGHTS, warp_stride=2)
         ablation.append({"name": "warp_stride2", "J&F": round(float(ws2), 4)})
         print(f"[ablation]   warp_stride2: J&F = {ws2:.4f}", flush=True)
+
+        # block-warp vs reference-exact gather warp (in-net + merge):
+        # quantifies the TPU-fast warp's accuracy envelope end-to-end.
+        gather_cfg = dataclasses.replace(
+            cfg,
+            flow=dataclasses.replace(cfg.flow, warp_impl="gather"),
+            merge=dataclasses.replace(cfg.merge, warp_impl="gather"),
+        )
+        gmodels = _rebuild_models(gather_cfg)
+        pre_g = precompute_split(gmodels, params, gather_cfg, ds_val,
+                                 verbose=False)
+        gw, _ = evaluate_weights(pre_g, DEFAULT_WEIGHTS, args.warp_stride,
+                                 warp_impl="gather")
+        ablation.append({"name": "gather_warp", "J&F": round(float(gw), 4)})
+        print(f"[ablation]    gather_warp: J&F = {gw:.4f}", flush=True)
+
+        # bf16 crop/paste interpolation (the perf presets' setting) vs the
+        # fp32 parity default.
+        bf_cfg = dataclasses.replace(
+            cfg,
+            refine=dataclasses.replace(cfg.refine, interp_precision="default"),
+        )
+        pre_bf = precompute_split(_rebuild_models(bf_cfg), params, bf_cfg,
+                                  ds_val, verbose=False)
+        bw, _ = evaluate_weights(pre_bf, DEFAULT_WEIGHTS, args.warp_stride)
+        ablation.append({"name": "interp_bf16", "J&F": round(float(bw), 4)})
+        print(f"[ablation]    interp_bf16: J&F = {bw:.4f}", flush=True)
 
     report = {
         "held_out": held_out,

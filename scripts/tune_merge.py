@@ -56,6 +56,12 @@ def main():
                     help="tune on the trained synthetic-accuracy demo setup "
                          "(scripts/train_synthetic_demo.py config + its "
                          "--save-params checkpoint via --checkpoint)")
+    ap.add_argument("--benchmark", action="store_true",
+                    help="tune against the held-out synthetic VOS benchmark "
+                         "(scripts/run_synthetic_benchmark.py config + its "
+                         "--save-params checkpoint via --checkpoint): search "
+                         "on the TUNE split, then report the best weights' "
+                         "J&F on the UNSEEN val split")
     ap.add_argument("--split", default="val")
     ap.add_argument("--trials", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
@@ -75,6 +81,11 @@ def main():
         from train_synthetic_demo import demo_config
 
         cfg = demo_config()
+    elif args.benchmark:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+        from run_synthetic_benchmark import bench_config
+
+        cfg = bench_config()
     elif args.config:
         cfg = load_config(args.config)
     elif args.synthetic:
@@ -108,7 +119,22 @@ def main():
                              hw=(cfg.pipeline.image_height,
                                  cfg.pipeline.image_width), num_objects=2)
         args.data = root
-    elif args.synthetic:
+    elif args.benchmark:
+        from premvos_tpu.data.synthetic_vos import make_synthetic_vos
+
+        root = args.data or tempfile.mkdtemp(prefix="tune_merge_bench_")
+        if not os.path.exists(os.path.join(root, "ImageSets")):
+            # Same split sizes/seed as run_synthetic_benchmark defaults so
+            # the generated tune/val sequences are IDENTICAL to the
+            # benchmark run's (the master RNG draws per sequence in split
+            # order). Prefer passing the benchmark's own --data-root.
+            make_synthetic_vos(
+                root, n_train=6, n_tune=2, n_val=4, t=24,
+                hw=(cfg.pipeline.image_height, cfg.pipeline.image_width),
+                seed=args.seed, flow_pairs=False,
+            )
+        args.data = root
+        args.split = "tune"
         root = tempfile.mkdtemp(prefix="tune_merge_synth_")
         make_synthetic_davis(root, sequences=("seq_a", "seq_b"), t=6,
                              hw=(64, 96), num_objects=2)
@@ -159,6 +185,17 @@ def main():
             "sequences": list(sequences),
         },
     }
+    if args.benchmark:
+        # Report the tuned weights on the UNSEEN val split — the search
+        # only ever saw the tune split.
+        ds_val = DavisDataset(args.data, split="val")
+        pre_val = precompute_split(models, params, cfg, ds_val)
+        val_best, _ = evaluate_candidate(best_w, pre_val, ws)
+        val_base, _ = evaluate_candidate(DEFAULT_WEIGHTS, pre_val, ws)
+        out["_tuning"]["val_J&F"] = float(val_best)
+        out["_tuning"]["val_baseline_J&F"] = float(val_base)
+        print(f"[tune] held-out val: tuned {val_best:.4f} vs baseline "
+              f"{val_base:.4f}", flush=True)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

@@ -210,3 +210,26 @@ def test_flownet2_block_warp_close_to_gather(rng):
     fb = mb.apply(params, img1, img2)
     fg = mg.apply(params, img1, img2)
     np.testing.assert_allclose(np.asarray(fb), np.asarray(fg), atol=5e-4)
+
+
+def test_resample2d_block_pallas_interpret_parity(rng):
+    """Pallas kernel (interpret mode) == XLA block path == gather reference
+    on smooth flow, including packed multi-channel masks."""
+    import numpy as np
+
+    from premvos_tpu.ops.pallas.resample2d_pallas import resample2d_block_pallas
+    from premvos_tpu.ops.resample2d import resample2d_block, resample2d_reference
+
+    h, w = 64, 96
+    src = jnp.array(rng.standard_normal((h, w, 3)), jnp.float32)
+    flow = jnp.full((h, w, 2), 7.6, jnp.float32)
+    ref = resample2d_reference(src, flow)
+    pk = resample2d_block_pallas(src, flow, interpret=True)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(ref), atol=1e-4)
+
+    masks = jnp.array(
+        (rng.uniform(0, 1, (h, w, 8)) > 0.7).astype(np.float32)
+    )
+    xla = resample2d_block(masks, flow, use_pallas=False)
+    pk = resample2d_block_pallas(masks, flow, interpret=True)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(xla), atol=1e-5)
