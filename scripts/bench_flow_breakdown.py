@@ -102,6 +102,36 @@ def main():
     )
     emit("resample2d_448x832x3", m, t1, 2, t2, 6)
 
+    # Block-sliced residual-window warp (the production TPU path; smooth
+    # flows so the residual window is exercised, not just the fallback).
+    from premvos_tpu.ops.resample2d import resample2d_block
+
+    def smoothflow(seed, b, hh, ww, amp=15.0):
+        r = np.random.default_rng(seed)
+        co = r.uniform(-amp, amp, (b, 4, 6, 2)).astype(np.float32)
+        return jax.image.resize(jnp.asarray(co), (b, hh, ww, 2), "bilinear")
+
+    rb = jax.jit(lambda im, fl: resample2d_block(im, fl))
+    m, t1, t2 = marginal(
+        rb, lambda s, b: (fresh(s, (b, fh, fw, 3)), smoothflow(s + 3, b, fh, fw)),
+        2, 6,
+    )
+    emit("resample2d_block_448x832x3", m, t1, 2, t2, 6)
+
+    # exact packed-mask warp (warp_masks impl='block'): [8, 480, 864]
+    from premvos_tpu.stages.flow import warp_masks
+
+    wb = jax.jit(
+        lambda ms, fl: jax.vmap(
+            lambda f1: warp_masks(ms, f1, impl="block"), in_axes=0
+        )(fl)
+    )
+    m, t1, t2 = marginal(
+        wb, lambda s, b: (fresh(s, (k, h, w)), smoothflow(s + 7, b, h, w)),
+        2, 6,
+    )
+    emit("warp_masks8_block_480x864", m, t1, 2, t2, 6)
+
 
 if __name__ == "__main__":
     main()
