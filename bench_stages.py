@@ -79,15 +79,28 @@ def emit(name, unit_seconds, unit, t1, b1, t2, b2):
     return unit_seconds
 
 
-def main():
-    from premvos_tpu.config import PremvosConfig
+def main(argv=None):
+    import argparse
+
+    from premvos_tpu.config import PremvosConfig, load_config
     from premvos_tpu.pipeline.runner import (
         build_models, get_anchors, init_params, run_sequence,
     )
-    from premvos_tpu.stages.flow import warp_masks
     from premvos_tpu.stages.reid import pairwise_sq_distances
 
-    cfg = PremvosConfig()
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--config", default="configs/davis2017_val.json",
+        help="JSON preset; default = the production perf preset so the "
+             "stage budget matches bench.py (pass '' for raw defaults)",
+    )
+    args = ap.parse_args(argv)
+    cfg = (
+        load_config(args.config)
+        if args.config and os.path.exists(args.config)
+        else PremvosConfig()
+    )
+    print(json.dumps({"config": args.config or "defaults"}), flush=True)
     models = build_models(cfg)
     params = init_params(models, cfg, jax.random.PRNGKey(0))
     anchors = get_anchors(cfg)

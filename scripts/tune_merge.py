@@ -27,6 +27,10 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/premvos_jax_cache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,7 +74,12 @@ def main():
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--max-seqs", type=int, default=None)
     ap.add_argument("--out", default="configs/merge_tuned.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leaves the TPU free)")
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from premvos_tpu.config import PremvosConfig, load_config
     from premvos_tpu.data.davis import DavisDataset, make_synthetic_davis
@@ -135,6 +144,7 @@ def main():
             )
         args.data = root
         args.split = "tune"
+    elif args.synthetic:
         root = tempfile.mkdtemp(prefix="tune_merge_synth_")
         make_synthetic_davis(root, sequences=("seq_a", "seq_b"), t=6,
                              hw=(64, 96), num_objects=2)
@@ -160,12 +170,12 @@ def main():
     rng = np.random.default_rng(args.seed)
     best_w, best_score = DEFAULT_WEIGHTS, -1.0
     ws = cfg.merge.warp_stride
-    baseline, _ = evaluate_candidate(DEFAULT_WEIGHTS, precomputed, ws)
+    baseline, _ = evaluate_candidate(precomputed, DEFAULT_WEIGHTS, ws)
     print(f"[tune] baseline (all-1.0) J&F = {baseline:.4f}", flush=True)
     best_score = baseline
     for t in range(args.trials):
         w = sample_weights(rng)
-        score, _ = evaluate_candidate(w, precomputed, ws)
+        score, _ = evaluate_candidate(precomputed, w, ws)
         mark = ""
         if score > best_score:
             best_w, best_score, mark = w, score, "  ← best"
@@ -190,8 +200,8 @@ def main():
         # only ever saw the tune split.
         ds_val = DavisDataset(args.data, split="val")
         pre_val = precompute_split(models, params, cfg, ds_val)
-        val_best, _ = evaluate_candidate(best_w, pre_val, ws)
-        val_base, _ = evaluate_candidate(DEFAULT_WEIGHTS, pre_val, ws)
+        val_best, _ = evaluate_candidate(pre_val, best_w, ws)
+        val_base, _ = evaluate_candidate(pre_val, DEFAULT_WEIGHTS, ws)
         out["_tuning"]["val_J&F"] = float(val_best)
         out["_tuning"]["val_baseline_J&F"] = float(val_base)
         print(f"[tune] held-out val: tuned {val_best:.4f} vs baseline "
