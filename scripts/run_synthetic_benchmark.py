@@ -52,9 +52,33 @@ import numpy as np
 from train_synthetic_demo import demo_config, make_shift_pairs  # noqa: F401
 
 
-def bench_config():
-    """demo_config() nets on the benchmark canvas; exact (stride-1) warp."""
-    return demo_config()
+def bench_config(score_threshold=None, max_proposals=None):
+    """demo_config() nets on the benchmark canvas; exact (stride-1) warp.
+
+    score_threshold / max_proposals override the detector's inference-side
+    recall knobs (the reference runs its proposal net at a LOW score
+    threshold to keep ~20 proposals/frame — SURVEY.md §0; these are
+    eval-time graph parameters, independent of trained weights).
+    """
+    cfg = demo_config()
+    if score_threshold is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            proposal=dataclasses.replace(
+                cfg.proposal, detection_score_threshold=score_threshold
+            ),
+        )
+    if max_proposals is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            proposal=dataclasses.replace(
+                cfg.proposal, detections_per_frame=max_proposals
+            ),
+            pipeline=dataclasses.replace(
+                cfg.pipeline, max_proposals=max_proposals
+            ),
+        )
+    return cfg
 
 
 ABLATIONS = (
@@ -232,6 +256,11 @@ def main(argv=None):
     ap.add_argument("--load-params", default=None)
     ap.add_argument("--data-root", default=None,
                     help="reuse a generated dataset dir (else a fresh tmpdir)")
+    ap.add_argument("--score-threshold", type=float, default=None,
+                    help="override detection_score_threshold (eval-time "
+                         "recall knob; reference uses a low threshold)")
+    ap.add_argument("--max-proposals", type=int, default=None,
+                    help="override detections_per_frame / max_proposals")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -252,7 +281,7 @@ def main(argv=None):
     )
     from premvos_tpu.parallel.mesh import make_mesh
 
-    cfg = bench_config()
+    cfg = bench_config(args.score_threshold, args.max_proposals)
     p = cfg.pipeline
 
     root = args.data_root or tempfile.mkdtemp(prefix="synthetic_vos_")
@@ -354,6 +383,10 @@ def main(argv=None):
             "reid": args.steps_reid, "flow": args.steps_flow,
         },
         "warp_stride": args.warp_stride,
+        "detector": {
+            "score_threshold": cfg.proposal.detection_score_threshold,
+            "max_proposals": p.max_proposals,
+        },
         "threshold": args.threshold,
         "passed": bool(jf >= args.threshold),
         "platform": jax.default_backend(),
