@@ -117,6 +117,16 @@ class MergeConfig:
     warp_stride: int = 1
     # Mask-warp implementation: "block" | "gather" (see FlowConfig.warp_impl).
     warp_impl: str = "block"
+    # Per-frame decay of the warp term while a track is coasting (not
+    # selected): effective w_warp ∝ warp_decay**staleness. 1.0 = reference
+    # semantics (stale warped priors count fully). <1 keeps a long-occluded
+    # track's drifted prior from overriding ReID at re-acquisition — this is
+    # where the reference's merge loses tracks that disappear (SURVEY C5).
+    warp_decay: float = 1.0
+    # EMA rate folding the assigned proposal's embedding into the track's
+    # reference embedding. 0.0 = reference semantics (frame-0 GT anchor
+    # only). >0 adapts the anchor to appearance drift (scale change etc.).
+    reid_ema: float = 0.0
 
 
 @dataclass(frozen=True)

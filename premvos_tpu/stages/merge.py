@@ -36,8 +36,11 @@ class TrackState(NamedTuple):
     """Carry of the per-sequence tracking scan."""
 
     prev_masks: jnp.ndarray  # [K, H, W] soft masks in the current frame
-    ref_emb: jnp.ndarray  # [K, E] first-frame GT embeddings (fixed)
+    ref_emb: jnp.ndarray  # [K, E] reference embeddings (frame-0 GT anchor;
+    # optionally EMA-adapted when MergeConfig.reid_ema > 0)
     active: jnp.ndarray  # [K] bool — object exists in this sequence
+    staleness: jnp.ndarray  # [K] int32 — frames since the track was last
+    # selected (0 while tracked; drives MergeConfig.warp_decay)
 
 
 def init_state(gt_masks, gt_emb, num_objects) -> TrackState:
@@ -51,6 +54,7 @@ def init_state(gt_masks, gt_emb, num_objects) -> TrackState:
         prev_masks=gt_masks.astype(jnp.float32),
         ref_emb=gt_emb.astype(jnp.float32),
         active=active,
+        staleness=jnp.zeros((k,), jnp.int32),
     )
 
 
@@ -73,10 +77,17 @@ def score_matrix(
     other_union = jnp.clip(total - warped, 0.0, 1.0)  # [K, H, W]
     overlap = soft_mask_iou(other_union, prop_masks)  # [K, N]
 
+    # Decay the warp term for coasting tracks: a prior that has been warped
+    # forward `staleness` frames without confirmation drifts; at warp_decay<1
+    # ReID progressively takes over re-acquisition (warp_decay=1.0 ==
+    # reference semantics — staleness has no effect).
+    decay = jnp.power(
+        jnp.float32(cfg.warp_decay), state.staleness.astype(jnp.float32)
+    )  # [K]
     s = (
         cfg.w_objectness * prop_scores[None, :]
         + cfg.w_reid * sim
-        + cfg.w_warp * warp_iou
+        + cfg.w_warp * decay[:, None] * warp_iou
         - cfg.w_overlap * overlap
     )
     ok = jnp.logical_and(state.active[:, None], prop_valid[None, :])
@@ -183,6 +194,17 @@ def merge_frame(
     # hypothesis (lets tracking coast through brief disappearance; ReID
     # re-acquires on re-appearance).
     new_prev = jnp.where(present[:, None, None], sel, warped)
+    staleness = jnp.where(present, 0, state.staleness + 1)
+
+    # Optional appearance adaptation: EMA of the assigned proposal's
+    # embedding into the reference anchor (reid_ema=0.0 == reference
+    # semantics: the frame-0 GT embedding is the fixed anchor).
+    ref_emb = state.ref_emb
+    if isinstance(cfg.reid_ema, jnp.ndarray) or float(cfg.reid_ema) > 0.0:
+        a = jnp.float32(cfg.reid_ema) * present.astype(jnp.float32)[:, None]
+        ref_emb = (1.0 - a) * ref_emb + a * prop_emb[picked].astype(
+            jnp.float32
+        )
     active = state.active
 
     if new_active is not None:
@@ -195,8 +217,9 @@ def merge_frame(
         intro_lab = jnp.max(jnp.where(cover, ids, 0), axis=0)
         labels = jnp.where(intro_lab > 0, intro_lab, labels)
         new_prev = jnp.where(new_active[:, None, None], intro_masks, new_prev)
+        staleness = jnp.where(new_active, 0, staleness)
         active = jnp.logical_or(active, new_active)
 
-    new_state = TrackState(new_prev, state.ref_emb, active)
+    new_state = TrackState(new_prev, ref_emb, active, staleness)
     info = {"assign": assign, "score": a_score, "present": present}
     return new_state, labels, info

@@ -44,11 +44,15 @@ from premvos_tpu.eval.harness import (  # noqa: E402
 
 
 def sample_weights(rng: np.random.Generator) -> np.ndarray:
-    """Log-uniform weights, uniform score floor."""
+    """Log-uniform weights, uniform score floor; warp_decay/reid_ema mix
+    the reference value (1.0 / 0.0 — half the mass) with a search range, so
+    the extensions only survive tuning when they actually earn their keep."""
     w = np.exp(rng.uniform(np.log(0.2), np.log(3.0), size=4))
     sigma = np.exp(rng.uniform(np.log(0.3), np.log(3.0)))
     floor = rng.uniform(0.0, 1.5)
-    return np.array([*w, sigma, floor], np.float32)
+    decay = 1.0 if rng.random() < 0.5 else rng.uniform(0.4, 1.0)
+    ema = 0.0 if rng.random() < 0.5 else rng.uniform(0.0, 0.5)
+    return np.array([*w, sigma, floor, decay, ema], np.float32)
 
 
 def main():
