@@ -178,8 +178,28 @@ def build_sequence_spec(
     hw: tuple = (64, 96),
     n_tracked: int = 2,
     n_distractors: int = 1,
+    size_scale: float = 1.0,
 ) -> list[EntitySpec]:
-    """Sample one sequence's entities (tracked first, then distractors)."""
+    """Sample one sequence's entities (tracked first, then distractors).
+
+    size_scale k > 1 renders the SAME procedural world at k× resolution:
+    entities are sampled in the (hw/k) world and every position/size is
+    scaled by k, so difficulty (crossing geometry, occlusion timing,
+    relative speeds) is resolution-invariant while masks/boundaries gain
+    pixels — mirroring how DAVIS objects occupy a large pixel footprint at
+    480p."""
+    if size_scale != 1.0:
+        h, w = hw
+        world = (h / size_scale, w / size_scale)
+        ents = build_sequence_spec(rng, t, world, n_tracked, n_distractors)
+        return [
+            dataclasses.replace(
+                e,
+                positions=e.positions * float(size_scale),
+                s0=e.s0 * float(size_scale),
+            )
+            for e in ents
+        ]
     if t < 20:
         raise ValueError(
             f"sequence length t={t} too short for the event timeline "
@@ -375,6 +395,7 @@ def make_synthetic_vos(
     seed: int = 0,
     flow_pairs: bool = True,
     pairs_hw: tuple | None = None,
+    size_scale: float = 1.0,
 ) -> Path:
     """Write the benchmark as a DAVIS-layout tree.
 
@@ -411,7 +432,7 @@ def make_synthetic_vos(
             rng = np.random.default_rng(master.integers(0, 2**63))
             entities = build_sequence_spec(
                 rng, t=t, hw=hw, n_tracked=n_tracked,
-                n_distractors=n_distractors,
+                n_distractors=n_distractors, size_scale=size_scale,
             )
             bg = _smooth_background(rng, *hw)
             if split == "train":

@@ -16,11 +16,18 @@ Protocol:
      splits;
   2. train all four nets from scratch on the train split (GroupNorm
      variants; flow trains on GT backward-flow pairs from the generator);
-  3. precompute stages 1–4 once per val sequence; J&F with default merge
-     weights = the headline held-out number (gate: ≥ 0.6);
-  4. ablation table: zero each merge term and re-score (each term must be
-     load-bearing) + the coarse-warp (stride 2) row;
-  5. optional --finetune: per-video fine-tune proposal+refinement nets on
+  3. tune the merge weights on the TUNE split (random search + local
+     refinement over the 8-dim weight vector — the reference ships
+     hand-tuned merge constants, SURVEY C5; tuned weights are written to
+     configs/merge_tuned.json with the trial log);
+  4. precompute stages 1–4 once per val sequence; J&F with the TUNED
+     weights = the headline held-out number (gate: ≥ 0.6); the
+     default-weights and oracle-selection numbers are reported alongside
+     (oracle = per-object best-IoU proposal pick — the proposal-quality
+     ceiling; the tuned-vs-oracle gap is merge selection loss);
+  5. ablation table: zero each merge term of the TUNED vector and re-score
+     (each term must be load-bearing) + the coarse-warp (stride 2) row;
+  6. optional --finetune: per-video fine-tune proposal+refinement nets on
      each val sequence's frame 0 (lucid pipeline) and score the pair.
 
   python scripts/run_synthetic_benchmark.py                    # full
@@ -52,15 +59,34 @@ import numpy as np
 from train_synthetic_demo import demo_config, make_shift_pairs  # noqa: F401
 
 
-def bench_config(score_threshold=None, max_proposals=None):
+def bench_config(score_threshold=None, max_proposals=None, canvas=None):
     """demo_config() nets on the benchmark canvas; exact (stride-1) warp.
 
     score_threshold / max_proposals override the detector's inference-side
     recall knobs (the reference runs its proposal net at a LOW score
     threshold to keep ~20 proposals/frame — SURVEY.md §0; these are
     eval-time graph parameters, independent of trained weights).
+    canvas = (H, W) renders the same procedural world at higher resolution
+    (see synthetic_vos.build_sequence_spec size_scale); H/W must be
+    32-multiples and keep the 64:96 aspect.
     """
     cfg = demo_config()
+    if canvas is not None:
+        ch, cw = canvas
+        if ch % 32 or cw % 32 or abs(ch / 64 - cw / 96) > 1e-6:
+            raise ValueError(
+                f"--canvas {ch}x{cw}: needs 32-multiples at 64:96 aspect "
+                "(e.g. 128 192)"
+            )
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(
+                cfg.pipeline, image_height=ch, image_width=cw
+            ),
+            flow=dataclasses.replace(
+                cfg.flow, infer_height=ch, infer_width=cw
+            ),
+        )
     if score_threshold is not None:
         cfg = dataclasses.replace(
             cfg,
@@ -82,7 +108,7 @@ def bench_config(score_threshold=None, max_proposals=None):
 
 
 ABLATIONS = (
-    ("default", {}),
+    ("tuned", {}),
     ("no_reid", {"w_reid": 0.0}),
     ("no_warp", {"w_warp": 0.0}),
     ("no_overlap", {"w_overlap": 0.0}),
@@ -96,13 +122,91 @@ def _rebuild_models(cfg):
     return build_models(cfg)
 
 
-def ablation_weights(overrides: dict) -> np.ndarray:
-    from premvos_tpu.eval.harness import DEFAULT_WEIGHTS, WEIGHT_NAMES
+def ablation_weights(base: np.ndarray, overrides: dict) -> np.ndarray:
+    from premvos_tpu.eval.harness import WEIGHT_NAMES
 
-    w = DEFAULT_WEIGHTS.copy()
+    w = np.asarray(base, np.float32).copy()
     for k, v in overrides.items():
         w[WEIGHT_NAMES.index(k)] = v
     return w
+
+
+def tune_weights(pre_tune, args, rng=None):
+    """Random search + local refinement on the tune split.
+
+    Mirrors the reference's hand-tuned merge constants (SURVEY C5): the
+    weight vector is data-tuned on sequences DISJOINT from val. Returns
+    (best_weights, best_tune_JF, trial_log)."""
+    from premvos_tpu.eval.harness import DEFAULT_WEIGHTS, evaluate_weights
+    from tune_merge import sample_weights
+
+    rng = rng or np.random.default_rng(args.seed)
+    best_w = np.asarray(DEFAULT_WEIGHTS, np.float32)
+    best_t, _ = evaluate_weights(pre_tune, best_w, args.warp_stride)
+    log = [{"w": [float(x) for x in best_w], "tune_JF": round(float(best_t), 4),
+            "kind": "baseline"}]
+    print(f"[tune] baseline (reference defaults) J&F = {best_t:.4f}",
+          flush=True)
+    for i in range(args.tune_trials):
+        w = sample_weights(rng)
+        t, _ = evaluate_weights(pre_tune, w, args.warp_stride)
+        log.append({"w": [float(x) for x in w],
+                    "tune_JF": round(float(t), 4), "kind": "random"})
+        if t > best_t:
+            best_t, best_w = t, w
+            print(f"[tune] {i + 1}/{args.tune_trials} J&F={t:.4f} "
+                  f"w={np.round(w, 3).tolist()}", flush=True)
+    for i in range(args.tune_local):
+        w = (best_w * np.exp(rng.normal(0, 0.22, size=8))).astype(np.float32)
+        w[5] = max(0.0, float(best_w[5] + rng.normal(0, 0.2)))
+        w[6] = float(np.clip(best_w[6] * np.exp(rng.normal(0, 0.1)), 0.3, 1.0))
+        w[7] = float(np.clip(best_w[7] + rng.normal(0, 0.08), 0.0, 0.7))
+        t, _ = evaluate_weights(pre_tune, w, args.warp_stride)
+        log.append({"w": [float(x) for x in w],
+                    "tune_JF": round(float(t), 4), "kind": "local"})
+        if t > best_t:
+            best_t, best_w = t, w
+            print(f"[tune] local {i + 1}/{args.tune_local} J&F={t:.4f}",
+                  flush=True)
+    return best_w, float(best_t), log
+
+
+def oracle_jf(precomputed, min_iou: float = 0.1) -> float:
+    """Proposal-quality ceiling: per object per frame, pick the best-IoU
+    valid proposal against GT (selection oracle). The tuned-vs-oracle gap
+    is pure merge selection loss."""
+    from premvos_tpu.eval.davis_eval import evaluate_dataset, evaluate_sequence
+
+    results = []
+    for pre, gt_masks, n_obj, gt_labels in precomputed:
+        t_steps = int(pre["scores"].shape[0])
+        k = int(n_obj)
+        h, w = gt_labels.shape[1], gt_labels.shape[2]
+        labels = np.zeros((t_steps + 1, h, w), np.int32)
+        labels[0] = gt_labels[0]
+        for t in range(t_steps):
+            pm = np.asarray(pre["prop_masks"][t], np.float32)[:, :h, :w]
+            va = np.asarray(pre["valid"][t])
+            sel = np.zeros((k, h, w), np.float32)
+            sc = np.zeros(k)
+            for ki in range(k):
+                g = (gt_labels[t + 1] == ki + 1).astype(np.float32)
+                if g.sum() == 0:
+                    continue
+                inter = np.minimum(pm, g[None]).sum((1, 2))
+                union = np.maximum(pm, g[None]).sum((1, 2))
+                ious = np.where(va, inter / np.maximum(union, 1e-6), 0.0)
+                b = int(np.argmax(ious))
+                if ious[b] > min_iou:
+                    sel[ki] = pm[b]
+                    sc[ki] = ious[b]
+            lab = np.zeros((h, w), np.int32)
+            for ki in np.argsort(sc):  # higher IoU wins pixel conflicts
+                if sc[ki] > 0:
+                    lab[sel[ki] > 0.5] = ki + 1
+            labels[t + 1] = lab
+        results.append(evaluate_sequence(labels, gt_labels, k))
+    return float(evaluate_dataset(results)["J&F"])
 
 
 def train_all(args, cfg, ds_train, root, mesh):
@@ -175,13 +279,16 @@ def train_all(args, cfg, ds_train, root, mesh):
     return models, params
 
 
-def finetune_pair(args, cfg, models, params, ds_val, mesh, precomputed_plain):
+def finetune_pair(args, cfg, models, params, ds_val, mesh,
+                  precomputed_plain, weights=None):
     """Per-video fine-tune on each val sequence's frame 0 → J&F pair."""
     from premvos_tpu.config import FinetuneConfig
     from premvos_tpu.eval.davis_eval import evaluate_dataset
     from premvos_tpu.eval.harness import (
         DEFAULT_WEIGHTS, evaluate_weights, precompute_split,
     )
+    if weights is None:
+        weights = DEFAULT_WEIGHTS
     from premvos_tpu.finetune.finetune import (
         finetune_proposals, finetune_refine,
     )
@@ -216,11 +323,11 @@ def finetune_pair(args, cfg, models, params, ds_val, mesh, precomputed_plain):
         pre = precompute_split(
             models, seq_params, cfg, ds_val, [seq], verbose=False
         )
-        _, res = evaluate_weights(pre, DEFAULT_WEIGHTS, args.warp_stride)
+        _, res = evaluate_weights(pre, weights, args.warp_stride)
         results.extend(res)
     with_ft = evaluate_dataset(results)["J&F"]
     without_ft, _ = evaluate_weights(
-        precomputed_plain, DEFAULT_WEIGHTS, args.warp_stride
+        precomputed_plain, weights, args.warp_stride
     )
     return {
         "without_finetune_JF": round(float(without_ft), 4),
@@ -246,6 +353,13 @@ def main(argv=None):
     ap.add_argument("--steps-finetune", type=int, default=150)
     ap.add_argument("--threshold", type=float, default=0.6)
     ap.add_argument("--warp-stride", type=int, default=1)
+    ap.add_argument("--tune-trials", type=int, default=192,
+                    help="random-search trials on the tune split")
+    ap.add_argument("--tune-local", type=int, default=96,
+                    help="local-refinement trials around the best")
+    ap.add_argument("--n-tune", type=int, default=None)
+    ap.add_argument("--tuned-out", default="configs/merge_tuned.json",
+                    help="where to write the tuned weights + trial log")
     ap.add_argument("--finetune", action="store_true",
                     help="also measure the per-video finetune J&F pair")
     ap.add_argument("--no-ablation", action="store_true")
@@ -261,6 +375,10 @@ def main(argv=None):
                          "recall knob; reference uses a low threshold)")
     ap.add_argument("--max-proposals", type=int, default=None,
                     help="override detections_per_frame / max_proposals")
+    ap.add_argument("--canvas", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="render the same procedural world at H x W "
+                         "(32-multiples, 64:96 aspect, e.g. 128 192)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -269,10 +387,13 @@ def main(argv=None):
     base = 150 if args.quick else 600
     args.steps_det = args.steps_det or 2 * base
     args.steps_refine = args.steps_refine or base
-    args.steps_reid = args.steps_reid or base // 2
+    args.steps_reid = args.steps_reid or 4 * base  # ReID separability of
+    # look-alike distractors needs the long schedule (round-3 finding: at
+    # base//2 steps sim compressed to [0.95, 1] and the term was dead)
     args.steps_flow = args.steps_flow or base // 2
-    n_train = args.n_train or (3 if args.quick else 6)
+    n_train = args.n_train or (3 if args.quick else 16)
     n_val = args.n_val or (2 if args.quick else 4)
+    n_tune = args.n_tune or (2 if args.quick else 6)
 
     from premvos_tpu.data.davis import DavisDataset
     from premvos_tpu.data.synthetic_vos import make_synthetic_vos
@@ -281,19 +402,22 @@ def main(argv=None):
     )
     from premvos_tpu.parallel.mesh import make_mesh
 
-    cfg = bench_config(args.score_threshold, args.max_proposals)
+    cfg = bench_config(args.score_threshold, args.max_proposals,
+                   tuple(args.canvas) if args.canvas else None)
     p = cfg.pipeline
 
     root = args.data_root or tempfile.mkdtemp(prefix="synthetic_vos_")
     if not os.path.exists(os.path.join(root, "ImageSets")):
         print(f"[bench] generating dataset at {root}", flush=True)
         make_synthetic_vos(
-            root, n_train=n_train, n_tune=2, n_val=n_val, t=args.frames,
+            root, n_train=n_train, n_tune=n_tune, n_val=n_val, t=args.frames,
             hw=(p.image_height, p.image_width), n_tracked=args.n_tracked,
             n_distractors=args.n_distractors, seed=args.seed,
             pairs_hw=(cfg.flow.infer_height, cfg.flow.infer_width),
+            size_scale=p.image_height / 64.0,
         )
     ds_train = DavisDataset(root, split="train")
+    ds_tune = DavisDataset(root, split="tune")
     ds_val = DavisDataset(root, split="val")
     mesh = make_mesh(1)
 
@@ -312,31 +436,62 @@ def main(argv=None):
             save_params(args.save_params, params)
             print(f"[bench] params saved to {args.save_params}", flush=True)
 
+    print("[bench] precomputing tune sequences ...", flush=True)
+    pre_tune = precompute_split(models, params, cfg, ds_tune)
+    tuned_w, tune_jf, trial_log = tune_weights(pre_tune, args)
+    if args.tuned_out:
+        from premvos_tpu.eval.harness import WEIGHT_NAMES
+
+        os.makedirs(os.path.dirname(args.tuned_out) or ".", exist_ok=True)
+        with open(args.tuned_out, "w") as f:
+            json.dump(
+                {
+                    "weights": dict(
+                        zip(WEIGHT_NAMES, [float(x) for x in tuned_w])
+                    ),
+                    "tune_JF": round(tune_jf, 4),
+                    "baseline_tune_JF": trial_log[0]["tune_JF"],
+                    "protocol": "random+local search on the benchmark tune "
+                                "split (disjoint from train and val)",
+                    "trials": trial_log,
+                },
+                f, indent=2,
+            )
+        print(f"[tune] best J&F = {tune_jf:.4f} → {args.tuned_out}",
+              flush=True)
+
     print("[bench] precomputing val sequences ...", flush=True)
     precomputed = precompute_split(models, params, cfg, ds_val)
 
-    jf, per_seq = evaluate_weights(precomputed, DEFAULT_WEIGHTS, args.warp_stride)
+    jf, per_seq = evaluate_weights(precomputed, tuned_w, args.warp_stride)
+    default_jf, _ = evaluate_weights(
+        precomputed, DEFAULT_WEIGHTS, args.warp_stride
+    )
+    oracle = oracle_jf(precomputed)
     held_out = {
         "J&F": round(float(jf), 4),
         "J": round(float(np.mean([r["J"] for r in per_seq])), 4),
         "F": round(float(np.mean([r["F"] for r in per_seq])), 4),
+        "default_weights_JF": round(float(default_jf), 4),
+        "oracle_selection_JF": round(oracle, 4),
         "per_sequence": {
             s: round(r["J&F"], 4)
             for s, r in zip(ds_val.sequences, per_seq)
         },
     }
-    print(f"[bench] HELD-OUT J&F = {jf:.4f}  (gate {args.threshold})",
+    print(f"[bench] HELD-OUT J&F = {jf:.4f}  (gate {args.threshold}; "
+          f"defaults {default_jf:.4f}, oracle ceiling {oracle:.4f})",
           flush=True)
 
     ablation = []
     if not args.no_ablation:
         for name, over in ABLATIONS:
-            w = ablation_weights(over)
+            w = ablation_weights(tuned_w, over)
             score, _ = evaluate_weights(precomputed, w, args.warp_stride)
             ablation.append({"name": name, "J&F": round(float(score), 4),
                              **{k: float(v) for k, v in over.items()}})
             print(f"[ablation] {name:>14}: J&F = {score:.4f}", flush=True)
-        ws2, _ = evaluate_weights(precomputed, DEFAULT_WEIGHTS, warp_stride=2)
+        ws2, _ = evaluate_weights(precomputed, tuned_w, warp_stride=2)
         ablation.append({"name": "warp_stride2", "J&F": round(float(ws2), 4)})
         print(f"[ablation]   warp_stride2: J&F = {ws2:.4f}", flush=True)
 
@@ -350,7 +505,7 @@ def main(argv=None):
         gmodels = _rebuild_models(gather_cfg)
         pre_g = precompute_split(gmodels, params, gather_cfg, ds_val,
                                  verbose=False)
-        gw, _ = evaluate_weights(pre_g, DEFAULT_WEIGHTS, args.warp_stride,
+        gw, _ = evaluate_weights(pre_g, tuned_w, args.warp_stride,
                                  warp_impl="gather")
         ablation.append({"name": "gather_warp", "J&F": round(float(gw), 4)})
         print(f"[ablation]    gather_warp: J&F = {gw:.4f}", flush=True)
@@ -363,7 +518,7 @@ def main(argv=None):
         )
         pre_bf = precompute_split(_rebuild_models(bf_cfg), params, bf_cfg,
                                   ds_val, verbose=False)
-        bw, _ = evaluate_weights(pre_bf, DEFAULT_WEIGHTS, args.warp_stride)
+        bw, _ = evaluate_weights(pre_bf, tuned_w, args.warp_stride)
         ablation.append({"name": "interp_bf16", "J&F": round(float(bw), 4)})
         print(f"[ablation]    interp_bf16: J&F = {bw:.4f}", flush=True)
 
@@ -390,11 +545,13 @@ def main(argv=None):
         "threshold": args.threshold,
         "passed": bool(jf >= args.threshold),
         "platform": jax.default_backend(),
-        "config": "demo_config() — depth-26 GroupNorm nets, 64×96 canvas",
+        "config": "demo_config() — depth-26 GroupNorm nets, "
+                  f"{p.image_height}×{p.image_width} canvas",
     }
     if args.finetune:
         report["finetune"] = finetune_pair(
-            args, cfg, models, params, ds_val, mesh, precomputed
+            args, cfg, models, params, ds_val, mesh, precomputed,
+            weights=tuned_w,
         )
         print(f"[bench] finetune pair: {report['finetune']}", flush=True)
 

@@ -31,12 +31,15 @@ def test_heldout_tracking_and_ablation(tmp_path):
     assert report["passed"], report["held_out"]
 
     abl = {r["name"]: r["J&F"] for r in report["ablation"]}
-    default = abl["default"]
-    # no zeroed term should HELP (beyond noise) ...
+    tuned = abl["tuned"]
+    # the headline runs at the TUNED operating point; no zeroed term should
+    # HELP (beyond noise) ...
     for name in ("no_reid", "no_warp", "no_overlap"):
-        assert abl[name] <= default + 0.02, (name, abl)
+        assert abl[name] <= tuned + 0.02, (name, abl)
     # ... and at least one merge term must be load-bearing on this data.
-    assert min(abl["no_reid"], abl["no_warp"], abl["no_overlap"]) < default - 0.02, abl
+    assert min(abl["no_reid"], abl["no_warp"], abl["no_overlap"]) < tuned - 0.02, abl
+    # tuned weights must not lose to the reference all-1.0 defaults held-out
+    assert tuned >= report["held_out"]["default_weights_JF"] - 0.02
 
     saved = json.loads(out.read_text())
     assert saved["held_out"]["J&F"] == report["held_out"]["J&F"]
