@@ -37,6 +37,16 @@ class ProposalConfig:
     num_classes: int = 2  # category-agnostic: object vs background
     # frozen_bn: pretrained/finetune regime; group_norm: from-scratch training.
     norm: str = "frozen_bn"
+    # RPN objectness supervision. "dense": sigmoid focal loss over ALL
+    # anchors (TPU-first: no per-step sampling gathers, and every anchor of
+    # every FPN level gets negative pressure — the reference's 256-sample
+    # balanced scheme leaves rarely-sampled levels uncalibrated, which at
+    # some resolutions floods joint NMS with confident garbage from an
+    # unused level). "sampled": the reference recipe (tensorpack-style
+    # balanced 256-anchor sample).
+    rpn_loss: str = "dense"
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
 
 
 @dataclass(frozen=True)

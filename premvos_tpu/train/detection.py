@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from premvos_tpu.ops.boxes import box_iou, encode_boxes
 from premvos_tpu.ops.roi_align import crop_and_resize
-from premvos_tpu.train.losses import sigmoid_xent, smooth_l1, softmax_xent
+from premvos_tpu.train.losses import (
+    sigmoid_focal, sigmoid_xent, smooth_l1, softmax_xent,
+)
 
 
 def assign_rpn_targets(
@@ -78,6 +80,49 @@ def rpn_loss(logits, deltas, labels, box_targets):
         logits, (labels == 1).astype(logits.dtype), mask=valid.astype(logits.dtype)
     )
     pos = (labels == 1).astype(logits.dtype)
+    box = smooth_l1(deltas, box_targets, mask=pos)
+    return cls, box
+
+
+def assign_rpn_labels_dense(
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    pos_iou: float = 0.7,
+    neg_iou: float = 0.3,
+):
+    """IoU-threshold labels for EVERY anchor — no sampling.
+
+    Returns (labels [A] ∈ {1 pos, 0 neg, −1 ignore in the IoU dead band},
+             box_targets [A, 4]). Pairs with `rpn_dense_loss` (sigmoid
+    focal): all anchors of all FPN levels receive gradient every step, so
+    no level can drift to confident-garbage objectness for lack of sampled
+    negatives (ProposalConfig.rpn_loss rationale)."""
+    iou = box_iou(anchors, gt_boxes)  # [A, G]
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+    pos = best_iou >= pos_iou
+    best_anchor_per_gt = jnp.argmax(iou, axis=0)  # [G]
+    force = jnp.zeros((anchors.shape[0],), bool).at[best_anchor_per_gt].set(
+        gt_valid
+    )
+    pos = jnp.logical_or(pos, force)
+    neg = jnp.logical_and(best_iou < neg_iou, ~pos)
+    labels = jnp.where(pos, 1, jnp.where(neg, 0, -1)).astype(jnp.int32)
+    return labels, encode_boxes(gt_boxes[best_gt], anchors)
+
+
+def rpn_dense_loss(logits, deltas, labels, box_targets,
+                   alpha: float = 0.25, gamma: float = 2.0):
+    """Focal objectness over all labeled anchors (normalized by #pos) +
+    smooth-L1 box loss on positives."""
+    valid = (labels >= 0).astype(logits.dtype)
+    pos = (labels == 1).astype(logits.dtype)
+    n_pos = pos.sum()
+    cls = sigmoid_focal(
+        logits, pos, alpha=alpha, gamma=gamma, mask=valid, norm=n_pos
+    )
     box = smooth_l1(deltas, box_targets, mask=pos)
     return cls, box
 
@@ -190,8 +235,15 @@ def maskrcnn_loss_fn(model, anchors, cfg, image_hw, rng=None):
 
         def per_image(args):
             (fl, fd, f, roi, rv, gb, gm, gv, key) = args
-            labels, tgts = assign_rpn_targets(flat_anchors, gb, gv, key)
-            l_rpn_cls, l_rpn_box = rpn_loss(fl, fd, labels, tgts)
+            if getattr(cfg, "rpn_loss", "dense") == "dense":
+                labels, tgts = assign_rpn_labels_dense(flat_anchors, gb, gv)
+                l_rpn_cls, l_rpn_box = rpn_dense_loss(
+                    fl, fd, labels, tgts,
+                    alpha=cfg.focal_alpha, gamma=cfg.focal_gamma,
+                )
+            else:
+                labels, tgts = assign_rpn_targets(flat_anchors, gb, gv, key)
+                l_rpn_cls, l_rpn_box = rpn_loss(fl, fd, labels, tgts)
 
             cls_labels, matched, box_tgts, fg, valid = assign_roi_targets(
                 roi, rv, gb, gv

@@ -100,3 +100,24 @@ def multiscale_epe(pred_flows, target, weights=None):
         scale = p.shape[-2] / target.shape[-2]
         total = total + wgt * endpoint_error(p, t * scale)
     return total
+
+
+def sigmoid_focal(logits, labels, alpha: float = 0.25, gamma: float = 2.0,
+                  mask=None, norm=None):
+    """Sigmoid focal loss (RetinaNet) from logits.
+
+    labels ∈ {0, 1} float; mask zeroes ignored elements; `norm` overrides
+    the normalizer (RetinaNet convention: number of positives, min 1).
+    """
+    p = jax.nn.sigmoid(logits)
+    ls = jax.nn.log_sigmoid(logits)
+    lns = jax.nn.log_sigmoid(-logits)
+    ce = -(labels * ls + (1.0 - labels) * lns)
+    p_t = labels * p + (1.0 - labels) * (1.0 - p)
+    a_t = labels * alpha + (1.0 - labels) * (1.0 - alpha)
+    loss = a_t * jnp.power(1.0 - p_t, gamma) * ce
+    if mask is not None:
+        loss = loss * mask
+    if norm is None:
+        norm = mask.sum() if mask is not None else loss.size
+    return loss.sum() / jnp.maximum(norm, 1.0)

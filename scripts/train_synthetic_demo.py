@@ -45,8 +45,12 @@ def demo_config():
             backbone_depth=26,
             fpn_channels=32,
             anchor_scales=(8.0, 16.0, 32.0, 64.0, 128.0),
-            rpn_pre_nms_topk=64,
-            rpn_post_nms_topk=16,
+            # Generous RPN budgets: at 16 post-NMS slots a single
+            # miscalibrated FPN level can flood joint NMS and starve true
+            # positives (round-3 finding at 128×192: recall 0 → 0.4 from
+            # this alone); the reference keeps ~1000 post-NMS proposals.
+            rpn_pre_nms_topk=128,
+            rpn_post_nms_topk=64,
             detections_per_frame=8,
             norm="group_norm",
         ),
