@@ -383,6 +383,70 @@ def backward_flow(
     return flow
 
 
+def _ensure_contrast(
+    entities: list[EntitySpec],
+    bg: np.ndarray,
+    rng: np.random.Generator,
+    min_dist: float = 110.0,
+    tries: int = 48,
+) -> list[EntitySpec]:
+    """Resample tracked-entity colors until each clears a contrast floor
+    against the background everywhere along its path.
+
+    DAVIS objects are human-annotatable by construction — a tracked object
+    whose color coincides with the local background measures detector noise,
+    not tracking (round-3 finding: a camouflaged val object was undetectable
+    at any training length and capped the oracle ceiling). Distractors then
+    re-inherit their twin's jittered color so they stay look-alikes.
+    """
+    h, w = bg.shape[:2]
+
+    def path_dist(e: EntitySpec, color: np.ndarray) -> float:
+        ys = np.clip(e.positions[:, 0].astype(int), 0, h - 1)
+        xs = np.clip(e.positions[:, 1].astype(int), 0, w - 1)
+        on = (
+            (e.positions[:, 0] >= -2) & (e.positions[:, 0] <= h + 2)
+            & (e.positions[:, 1] >= -2) & (e.positions[:, 1] <= w + 2)
+        )
+        if not on.any():
+            return np.inf
+        bgc = bg[ys[on], xs[on]]  # [F, 3]
+        # texture modulates the entity color by (1 ± amp); require the floor
+        # at the darker end too so shading can't re-camouflage it
+        lo = float(1.0 - e.tex[2])
+        d_mid = np.linalg.norm(bgc - color[None], axis=-1).min()
+        d_lo = np.linalg.norm(bgc - lo * color[None], axis=-1).min()
+        return float(min(d_mid, d_lo))
+
+    out = list(entities)
+    n_tracked = sum(1 for e in entities if e.tracked)
+    for i, e in enumerate(out):
+        if not e.tracked:
+            continue
+        color, best_d = e.color, path_dist(e, e.color)
+        for _ in range(tries):
+            if best_d >= min_dist:
+                break
+            cand = _rand_color(rng)
+            d = path_dist(e, cand)
+            if d > best_d:
+                color, best_d = cand, d
+        out[i] = dataclasses.replace(e, color=color)
+    # distractor d (index n_tracked + d) twins entities[d % n_tracked]
+    # (build_sequence_spec's mapping) — refresh its look-alike color
+    for j, e in enumerate(out):
+        if e.tracked:
+            continue
+        twin = out[(j - n_tracked) % max(n_tracked, 1)]
+        out[j] = dataclasses.replace(
+            e,
+            color=np.clip(
+                twin.color + rng.uniform(-12, 12, size=3), 0, 255
+            ).astype(np.float32),
+        )
+    return out
+
+
 def make_synthetic_vos(
     root,
     n_train: int = 6,
@@ -396,6 +460,7 @@ def make_synthetic_vos(
     flow_pairs: bool = True,
     pairs_hw: tuple | None = None,
     size_scale: float = 1.0,
+    min_contrast: float = 110.0,
 ) -> Path:
     """Write the benchmark as a DAVIS-layout tree.
 
@@ -435,6 +500,10 @@ def make_synthetic_vos(
                 n_distractors=n_distractors, size_scale=size_scale,
             )
             bg = _smooth_background(rng, *hw)
+            if min_contrast > 0:
+                entities = _ensure_contrast(
+                    entities, bg, rng, min_dist=min_contrast
+                )
             if split == "train":
                 label_ids = {i: i + 1 for i in range(len(entities))}
             else:

@@ -86,3 +86,40 @@ def test_inpaint_background_removes_foreground(rng):
     lab[10:20, 10:20] = 1
     bg = inpaint_background(img, lab)
     assert abs(int(bg[15, 15].mean()) - 100) < 30  # filled from surroundings
+
+
+def test_synthetic_vos_contrast_floor(tmp_path):
+    # Tracked objects must be visible (DAVIS objects are human-annotatable):
+    # the generator resamples camouflaged colors until each tracked entity
+    # clears a contrast floor against the background along its path.
+    import numpy as np
+
+    from premvos_tpu.data.synthetic_vos import (
+        EntitySpec,
+        _ensure_contrast,
+        _rand_tex,
+        build_sequence_spec,
+        _smooth_background,
+    )
+
+    rng = np.random.default_rng(3)
+    bg = _smooth_background(rng, 64, 96)
+    ents = build_sequence_spec(rng, t=24, hw=(64, 96), n_tracked=2,
+                               n_distractors=1)
+    # force a camouflaged tracked entity: color == background at its path
+    import dataclasses
+
+    y0, x0 = (int(ents[0].positions[0, 0]) % 64, int(ents[0].positions[0, 1]) % 96)
+    ents[0] = dataclasses.replace(ents[0], color=bg[y0, x0].astype(np.float32))
+    fixed = _ensure_contrast(ents, bg, rng, min_dist=110.0)
+    h, w = bg.shape[:2]
+    for e in fixed:
+        if not e.tracked:
+            continue
+        ys = np.clip(e.positions[:, 0].astype(int), 0, h - 1)
+        xs = np.clip(e.positions[:, 1].astype(int), 0, w - 1)
+        d = np.linalg.norm(bg[ys, xs] - e.color[None], axis=-1).min()
+        assert d >= 100.0, d
+    # distractors stay look-alikes of their twin
+    twin, dis = fixed[0], fixed[2]
+    assert np.abs(twin.color - dis.color).max() <= 12.5

@@ -8,9 +8,10 @@ from premvos_tpu.models import DeepLabV3Plus, FlowNet2, ReIDNet, ResNet
 
 
 def test_resnet_feature_strides(rng):
-    # eager init: a plain conv stack inits faster eagerly than the XLA
-    # compile of its init graph on CPU (10.6 s vs 53 s measured)
-    model = ResNet(depth=50)
+    # depth 26 shares the stage/stride/width layout of 50/101 (bottleneck
+    # widths are depth-independent) and keeps the fast suite under budget;
+    # the full depth-50 variant runs under -m slow below.
+    model = ResNet(depth=26)
     x = jnp.zeros((1, 64, 64, 3))
     params = model.init(jax.random.PRNGKey(0), x)
     feats = model.apply(params, x)
@@ -20,8 +21,20 @@ def test_resnet_feature_strides(rng):
     assert feats["C5"].shape == (1, 2, 2, 2048)
 
 
+@pytest.mark.slow
+def test_resnet50_feature_strides(rng):
+    # eager init: a plain conv stack inits faster eagerly than the XLA
+    # compile of its init graph on CPU (10.6 s vs 53 s measured)
+    model = ResNet(depth=50)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(params, x)
+    assert feats["C2"].shape == (1, 16, 16, 256)
+    assert feats["C5"].shape == (1, 2, 2, 2048)
+
+
 def test_resnet_dilated_os16():
-    model = ResNet(depth=50, output_stride=16)
+    model = ResNet(depth=26, output_stride=16)
     x = jnp.zeros((1, 64, 64, 3))
     params = model.init(jax.random.PRNGKey(0), x)  # eager: see above
     feats = model.apply(params, x)
