@@ -6,8 +6,16 @@ merge/track) on synthetic DAVIS-480p-shaped frames — stages 1–4 batched over
 scan_chunk-frame chunks, merge scanned — and prints ONE JSON line.
 
 Baseline: the reference end-to-end rate is ~38 s/frame on a single GPU
-(≈ 0.0263 fps; BASELINE.md — includes amortized per-video fine-tuning, the
-closest published figure). vs_baseline = our_fps / 0.0263.
+(≈ 0.0263 fps; BASELINE.md) — and that figure INCLUDES amortized per-video
+fine-tuning. The honest comparison is therefore finetune-inclusive vs
+finetune-inclusive: this benchmark measures our own per-video fine-tune
+cost (two-point step-time fit, amortized over the DAVIS-2017-val mean
+sequence length of ~70 frames) and reports
+
+  value            = inference-only frames/s/chip (the pipeline rate)
+  fps_incl_finetune = 1 / (frame_time + amortized finetune/frame)
+  vs_baseline      = fps_incl_finetune / 0.0263   (apples-to-apples)
+  vs_baseline_inference_only = value / 0.0263     (upper bound, mismatched)
 """
 
 import json
@@ -90,16 +98,69 @@ def main():
 
     fps = (t - 1) / sorted(times)[len(times) // 2]
     assert sink >= 0  # keep the transfer live
-    print(
-        json.dumps(
+
+    # Per-video fine-tune cost, amortized (the reference's 38 s/frame
+    # includes this — BASELINE.md). Two-point fit cancels the fixed
+    # aug-pool/compile/dispatch cost; full-config steps from FinetuneConfig.
+    # Guarded: the headline line must print even if this extra measurement
+    # fails (e.g. a relay hiccup mid-run).
+    def measure_finetune():
+        from premvos_tpu.finetune.finetune import (
+            finetune_proposals,
+            finetune_refine,
+        )
+        from premvos_tpu.parallel.mesh import make_mesh
+        from premvos_tpu.pipeline.runner import get_anchors
+
+        mesh = make_mesh(1)
+        anchors = get_anchors(cfg)
+        r = np.random.default_rng(0)
+        frame0 = r.integers(
+            0, 255, (p.image_height, p.image_width, 3)
+        ).astype(np.uint8)
+        lab0 = np.zeros((p.image_height, p.image_width), np.int32)
+        lab0[100:200, 150:300] = 1
+        lab0[250:350, 500:650] = 2
+
+        def ft_time(steps):
+            ft = dataclasses.replace(
+                cfg.finetune, steps=steps, num_augmentations=64
+            )
+            t0 = time.perf_counter()
+            finetune_refine(models.refine, params["refine"], frame0, lab0,
+                            mesh, cfg.refine, ft)
+            finetune_proposals(models.maskrcnn, params["maskrcnn"], anchors,
+                               cfg.proposal, frame0, lab0, mesh, ft,
+                               max_objects=p.max_objects)
+            return time.perf_counter() - t0
+
+        ft_time(2)  # compile
+        t_a, t_b = ft_time(4), ft_time(12)
+        per_step = (t_b - t_a) / 8
+        fixed = max(t_a - 4 * per_step, 0.0)  # aug pool + dispatch
+        return fixed + per_step * 2 * cfg.finetune.steps  # both nets
+
+    result = {
+        "metric": "davis480p_e2e_pipeline_throughput",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / REFERENCE_FPS, 1),
+    }
+    try:
+        total_ft = measure_finetune()
+        ft_per_frame = total_ft / 70  # DAVIS-2017 val mean sequence length
+        fps_incl = 1.0 / (1.0 / fps + ft_per_frame)
+        result.update(
             {
-                "metric": "davis480p_e2e_pipeline_throughput",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / REFERENCE_FPS, 1),
+                "vs_baseline": round(fps_incl / REFERENCE_FPS, 1),
+                "fps_incl_finetune": round(fps_incl, 3),
+                "finetune_s_per_video": round(total_ft, 1),
+                "vs_baseline_inference_only": round(fps / REFERENCE_FPS, 1),
             }
         )
-    )
+    except Exception as e:  # headline must survive a finetune-timing failure
+        result["finetune_measurement_error"] = repr(e)[:200]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -222,60 +222,94 @@ def train_all(args, cfg, ds_train, root, mesh):
     models = build_models(cfg)
     params = dict(init_params(models, cfg, jax.random.PRNGKey(args.seed)))
 
+    # Crash resilience (the TPU relay can die mid-run): checkpoint after
+    # each net's training; a restart with the same --save-params skips the
+    # nets already done.
+    done_file = None
+    done: set = set()
+    if args.save_params:
+        from premvos_tpu.utils.checkpoint import load_params, save_params
+
+        done_file = args.save_params + ".stages_done"
+        if os.path.exists(done_file):
+            done = set(
+                s for s in open(done_file).read().split() if s
+            )
+            if done:
+                params = load_params(args.save_params, like=params)
+                print(f"[bench] resuming; trained stages: {sorted(done)}",
+                      flush=True)
+
+    def _mark(stage):
+        if args.save_params:
+            save_params(args.save_params, params)
+            done.add(stage)
+            with open(done_file, "w") as f:
+                f.write("\n".join(sorted(done)))
+
     # Train-split annotations include distractors (ids beyond the tracked
     # set) — detection/refine/ReID must learn ALL object-like entities.
     train_max_objects = args.n_tracked + args.n_distractors + 1
 
-    print("[bench] training proposal net ...", flush=True)
-    t0 = time.perf_counter()
-    params["maskrcnn"], loss_det = train_maskrcnn(
-        ds_train, cfg.proposal, image_hw=(p.image_height, p.image_width),
-        max_objects=train_max_objects, steps=args.steps_det, batch_size=4,
-        learning_rate=3e-4, seed=args.seed, mesh=mesh,
-        params=params["maskrcnn"], log_every=max(args.steps_det // 5, 1),
-    )
-    print(f"[bench] proposal loss {loss_det:.4f} "
-          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    if "det" not in done:
+        print("[bench] training proposal net ...", flush=True)
+        t0 = time.perf_counter()
+        params["maskrcnn"], loss_det = train_maskrcnn(
+            ds_train, cfg.proposal, image_hw=(p.image_height, p.image_width),
+            max_objects=train_max_objects, steps=args.steps_det, batch_size=4,
+            learning_rate=3e-4, seed=args.seed, mesh=mesh,
+            params=params["maskrcnn"], log_every=max(args.steps_det // 5, 1),
+        )
+        print(f"[bench] proposal loss {loss_det:.4f} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        _mark("det")
 
-    print("[bench] training refinement net ...", flush=True)
-    t0 = time.perf_counter()
-    params["refine"], loss_ref = train_refine(
-        ds_train, cfg.refine, steps=args.steps_refine, batch_size=8,
-        learning_rate=3e-4, seed=args.seed, mesh=mesh,
-        params=params["refine"],
-        image_hw=(p.image_height, p.image_width),
-        log_every=max(args.steps_refine // 5, 1),
-    )
-    print(f"[bench] refine loss {loss_ref:.4f} "
-          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    if "refine" not in done:
+        print("[bench] training refinement net ...", flush=True)
+        t0 = time.perf_counter()
+        params["refine"], loss_ref = train_refine(
+            ds_train, cfg.refine, steps=args.steps_refine, batch_size=8,
+            learning_rate=3e-4, seed=args.seed, mesh=mesh,
+            params=params["refine"],
+            image_hw=(p.image_height, p.image_width),
+            log_every=max(args.steps_refine // 5, 1),
+        )
+        print(f"[bench] refine loss {loss_ref:.4f} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        _mark("refine")
 
-    print("[bench] training reid net ...", flush=True)
-    t0 = time.perf_counter()
-    crops_ds = DavisObjectCrops(
-        ds_train, cfg.reid.crop_size, (p.image_height, p.image_width),
-        max_objects=train_max_objects,
-    )
-    print(f"[bench] reid identities: {len(crops_ds.ids)}", flush=True)
-    params["reid"], loss_reid = train_reid(
-        crops_ds, cfg.reid, steps=args.steps_reid, p=4, k=4,
-        learning_rate=3e-4, seed=args.seed, mesh=mesh,
-        params=params["reid"], log_every=max(args.steps_reid // 5, 1),
-    )
-    print(f"[bench] reid loss {loss_reid:.4f} "
-          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    if "reid" not in done:
+        print("[bench] training reid net ...", flush=True)
+        t0 = time.perf_counter()
+        crops_ds = DavisObjectCrops(
+            ds_train, cfg.reid.crop_size, (p.image_height, p.image_width),
+            max_objects=train_max_objects,
+        )
+        print(f"[bench] reid identities: {len(crops_ds.ids)}", flush=True)
+        params["reid"], loss_reid = train_reid(
+            crops_ds, cfg.reid, steps=args.steps_reid, p=4, k=4,
+            learning_rate=3e-4, seed=args.seed, mesh=mesh,
+            params=params["reid"], log_every=max(args.steps_reid // 5, 1),
+        )
+        print(f"[bench] reid loss {loss_reid:.4f} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        _mark("reid")
 
-    print("[bench] training flow net on GT backward-flow pairs ...", flush=True)
-    t0 = time.perf_counter()
-    flow_params, loss_flow = train_flownet_c(
-        FlowPairDataset(os.path.join(root, "flow_pairs")),
-        steps=args.steps_flow, batch_size=4,
-        crop_hw=(cfg.flow.infer_height, cfg.flow.infer_width),
-        max_displacement=cfg.flow.max_displacement, learning_rate=3e-4,
-        seed=args.seed, mesh=mesh, log_every=max(args.steps_flow // 5, 1),
-    )
-    params["flow"] = {"params": {"flownetc": flow_params["params"]}}
-    print(f"[bench] flow loss {loss_flow:.4f} "
-          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    if "flow" not in done:
+        print("[bench] training flow net on GT backward-flow pairs ...",
+              flush=True)
+        t0 = time.perf_counter()
+        flow_params, loss_flow = train_flownet_c(
+            FlowPairDataset(os.path.join(root, "flow_pairs")),
+            steps=args.steps_flow, batch_size=4,
+            crop_hw=(cfg.flow.infer_height, cfg.flow.infer_width),
+            max_displacement=cfg.flow.max_displacement, learning_rate=3e-4,
+            seed=args.seed, mesh=mesh, log_every=max(args.steps_flow // 5, 1),
+        )
+        params["flow"] = {"params": {"flownetc": flow_params["params"]}}
+        print(f"[bench] flow loss {loss_flow:.4f} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        _mark("flow")
     return models, params
 
 
@@ -521,6 +555,26 @@ def main(argv=None):
         bw, _ = evaluate_weights(pre_bf, tuned_w, args.warp_stride)
         ablation.append({"name": "interp_bf16", "J&F": round(float(bw), 4)})
         print(f"[ablation]    interp_bf16: J&F = {bw:.4f}", flush=True)
+
+        # flow at HALF inference resolution (flow upscaled back): the
+        # fastest flow-stage configuration — 4× fewer flow pixels. On the
+        # 480p preset this is infer 448×832 → 224×416; measured here so the
+        # speed-accuracy tradeoff is a fact, not a guess (VERDICT r2 item 2b).
+        # Rounded up to the net's 64-multiple grid.
+        fh = max(64, (cfg.flow.infer_height // 2 + 63) // 64 * 64)
+        fw = max(64, (cfg.flow.infer_width // 2 + 63) // 64 * 64)
+        half_cfg = dataclasses.replace(
+            cfg, flow=dataclasses.replace(
+                cfg.flow, infer_height=fh, infer_width=fw
+            ),
+        )
+        pre_h = precompute_split(_rebuild_models(half_cfg), params, half_cfg,
+                                 ds_val, verbose=False)
+        hw_jf, _ = evaluate_weights(pre_h, tuned_w, args.warp_stride)
+        ablation.append({"name": f"flow_half_res_{fh}x{fw}",
+                         "J&F": round(float(hw_jf), 4)})
+        print(f"[ablation]  flow_half_res: J&F = {hw_jf:.4f} ({fh}x{fw})",
+              flush=True)
 
     report = {
         "held_out": held_out,
