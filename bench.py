@@ -106,6 +106,7 @@ def main():
     # fails (e.g. a relay hiccup mid-run).
     def measure_finetune():
         from premvos_tpu.finetune.finetune import (
+            build_lucid_pool,
             finetune_proposals,
             finetune_refine,
         )
@@ -122,23 +123,40 @@ def main():
         lab0[100:200, 150:300] = 1
         lab0[250:350, 500:650] = 2
 
+        # Host augmentation cost: per-aug marginal (two-size), scaled to
+        # the production pool — ONE pool is shared by both nets.
+        def pool_time(n):
+            ft = dataclasses.replace(cfg.finetune, num_augmentations=n,
+                                     steps=2)
+            t0 = time.perf_counter()
+            pool = build_lucid_pool(frame0, lab0, ft)
+            return time.perf_counter() - t0, pool
+
+        t2, _ = pool_time(2)
+        t10, pool = pool_time(10)
+        per_aug = max((t10 - t2) / 8, 0.0)
+        prod_pool_n = min(
+            cfg.finetune.num_augmentations, max(cfg.finetune.steps, 64)
+        )
+        pool_cost = per_aug * prod_pool_n
+
+        # Device step cost: two-point fit over both nets with the prebuilt
+        # pool (cancels crop-prep/upload/compile/dispatch fixed costs).
         def ft_time(steps):
-            ft = dataclasses.replace(
-                cfg.finetune, steps=steps, num_augmentations=64
-            )
+            ft = dataclasses.replace(cfg.finetune, steps=steps)
             t0 = time.perf_counter()
             finetune_refine(models.refine, params["refine"], frame0, lab0,
-                            mesh, cfg.refine, ft)
+                            mesh, cfg.refine, ft, pool=pool)
             finetune_proposals(models.maskrcnn, params["maskrcnn"], anchors,
                                cfg.proposal, frame0, lab0, mesh, ft,
-                               max_objects=p.max_objects)
+                               max_objects=p.max_objects, pool=pool)
             return time.perf_counter() - t0
 
         ft_time(2)  # compile
         t_a, t_b = ft_time(4), ft_time(12)
         per_step = (t_b - t_a) / 8
-        fixed = max(t_a - 4 * per_step, 0.0)  # aug pool + dispatch
-        return fixed + per_step * 2 * cfg.finetune.steps  # both nets
+        fixed = max(t_a - 4 * per_step, 0.0)  # prep + upload + dispatch
+        return pool_cost + fixed + per_step * 2 * cfg.finetune.steps
 
     result = {
         "metric": "davis480p_e2e_pipeline_throughput",

@@ -251,7 +251,11 @@ def main(argv=None):
     # (inference-only fps, fps incl. amortized fine-tune).
     import dataclasses
 
-    from premvos_tpu.finetune.finetune import finetune_proposals, finetune_refine
+    from premvos_tpu.finetune.finetune import (
+        build_lucid_pool,
+        finetune_proposals,
+        finetune_refine,
+    )
     from premvos_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(1)
@@ -261,23 +265,37 @@ def main(argv=None):
     lab0[100:200, 150:300] = 1
     lab0[250:350, 500:650] = 2
 
+    # Host augmentation cost: per-aug marginal scaled to the production
+    # pool size (ONE pool shared by both nets — see build_lucid_pool).
+    def pool_time(n):
+        ft = dataclasses.replace(cfg.finetune, num_augmentations=n, steps=2)
+        t0 = time.perf_counter()
+        pool = build_lucid_pool(frame0, lab0, ft)
+        return time.perf_counter() - t0, pool
+
+    t2p, _ = pool_time(2)
+    t10p, pool = pool_time(10)
+    per_aug = max((t10p - t2p) / 8, 0.0)
+    prod_pool_n = min(
+        cfg.finetune.num_augmentations, max(cfg.finetune.steps, 64)
+    )
+    pool_cost = per_aug * prod_pool_n
+
     def ft_time(steps):
-        ft = dataclasses.replace(
-            cfg.finetune, steps=steps, num_augmentations=64
-        )
+        ft = dataclasses.replace(cfg.finetune, steps=steps)
         t0 = time.perf_counter()
         finetune_refine(models.refine, params["refine"], frame0, lab0, mesh,
-                        cfg.refine, ft)
+                        cfg.refine, ft, pool=pool)
         finetune_proposals(models.maskrcnn, params["maskrcnn"], anchors,
                            cfg.proposal, frame0, lab0, mesh, ft,
-                           max_objects=p.max_objects)
+                           max_objects=p.max_objects, pool=pool)
         return time.perf_counter() - t0
 
     ft_time(2)  # compile
     t_a, t_b = ft_time(4), ft_time(12)
     per_step = (t_b - t_a) / 8
-    fixed = max(t_a - 4 * per_step, 0.0)  # aug-pool generation + dispatch
-    total_ft = fixed + per_step * 2 * cfg.finetune.steps  # both nets, full steps
+    fixed = max(t_a - 4 * per_step, 0.0)  # prep + upload + dispatch
+    total_ft = pool_cost + fixed + per_step * 2 * cfg.finetune.steps
     frames_per_video = 70  # DAVIS-2017 val mean sequence length ≈ 70
     ft_per_frame = total_ft / frames_per_video
     fps_incl = 1.0 / (m + ft_per_frame)
@@ -286,7 +304,8 @@ def main(argv=None):
             {
                 "metric": "finetune_amortized",
                 "per_step_s": round(per_step, 4),
-                "fixed_s_aug_pool": round(fixed, 2),
+                "aug_pool_s_shared": round(pool_cost, 2),
+                "fixed_s_prep_dispatch": round(fixed, 2),
                 "total_finetune_s_per_video": round(total_ft, 1),
                 "amortized_s_per_frame": round(ft_per_frame, 3),
                 "fps_inference_only": round(1.0 / m, 3),

@@ -34,6 +34,21 @@ from premvos_tpu.train.trainer import (
 )
 
 
+def build_lucid_pool(
+    first_frame: np.ndarray,
+    first_labels: np.ndarray,
+    ft_cfg: FinetuneConfig = FinetuneConfig(),
+    seed: int = 0,
+) -> tuple:
+    """Build ONE lucid-augmentation pool for a video, shared by both
+    per-video fine-tunes (proposal + refinement) — augmentation is the
+    host-side cost of fine-tuning, and both nets train on the same
+    distribution, so generating it twice is pure waste."""
+    rng = np.random.default_rng(seed)
+    pool_n = min(ft_cfg.num_augmentations, max(ft_cfg.steps, 64))
+    return lucid_batch(first_frame, first_labels, rng, pool_n)
+
+
 def perturb_mask(mask: np.ndarray, rng) -> np.ndarray:
     """Simulate a coarse proposal mask from a GT mask (random morphological
     perturbation + shift)."""
@@ -109,11 +124,14 @@ def finetune_refine(
     ft_cfg: FinetuneConfig = FinetuneConfig(),
     seed: int = 0,
     log_every: int = 0,
+    pool: tuple | None = None,
 ):
     """Fine-tune the refinement net on one video's first frame.
 
     Returns (new_params, final_loss). Batches shard data-parallel over the
-    mesh; augmentation streams on the host.
+    mesh; augmentation streams on the host. `pool` = a prebuilt
+    (images, labels) lucid pool (see build_lucid_pool) — the same pool can
+    serve both per-video fine-tunes, halving the host augmentation cost.
     """
     import jax.numpy as jnp
 
@@ -135,8 +153,10 @@ def finetune_refine(
     # Pre-generate an augmentation pool, upload it ONCE; every step gathers
     # its batch on device (make_pool_train_step) — streaming batches from
     # the host measured 13.5 s/step through this platform's relay.
-    pool_n = min(ft_cfg.num_augmentations, max(ft_cfg.steps, 64))
-    imgs, labs = lucid_batch(first_frame, first_labels, rng, pool_n)
+    if pool is None:
+        pool_n = min(ft_cfg.num_augmentations, max(ft_cfg.steps, 64))
+        pool = lucid_batch(first_frame, first_labels, rng, pool_n)
+    imgs, labs = pool
     crops, tgts = make_refine_examples(
         imgs, labs, refine_cfg.crop_size, refine_cfg.box_margin, rng
     )
@@ -188,12 +208,14 @@ def finetune_proposals(
     seed: int = 0,
     max_objects: int = 8,
     log_every: int = 0,
+    pool: tuple | None = None,
 ):
     """Per-video fine-tune of the Mask R-CNN proposal net on lucid-dream
     augmentations (the reference fine-tunes this net too — SURVEY.md §3.2).
 
     first_frame must already be padded to the pipeline canvas. Returns
-    (new_params, final_loss)."""
+    (new_params, final_loss). `pool` = prebuilt (images, labels) lucid pool
+    shared with finetune_refine (see build_lucid_pool)."""
     import jax
     import jax.numpy as jnp
 
@@ -206,8 +228,11 @@ def finetune_proposals(
     bs = max(1, ft_cfg.batch_size // 2)
     bs = max(bs - bs % n_dev, n_dev)
 
-    pool_n = min(ft_cfg.num_augmentations, max(ft_cfg.steps, 64))
-    imgs, labs = lucid_batch(first_frame, first_labels, rng, pool_n)
+    if pool is None:
+        pool_n = min(ft_cfg.num_augmentations, max(ft_cfg.steps, 64))
+        pool = lucid_batch(first_frame, first_labels, rng, pool_n)
+    imgs, labs = pool
+    pool_n = len(imgs)
 
     gt = [labels_to_boxes_masks(l, max_objects) for l in labs]
     gt_boxes = np.stack([g[0] for g in gt])

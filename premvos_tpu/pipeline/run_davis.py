@@ -95,6 +95,7 @@ def main(argv=None):
         seq_params = params
         if args.finetune:
             from premvos_tpu.finetune.finetune import (
+                build_lucid_pool,
                 finetune_proposals,
                 finetune_refine,
             )
@@ -108,14 +109,17 @@ def main(argv=None):
             # cv2-based augmentation needs host arrays.
             frame0 = np.asarray(seq["frames"][0])
             t0 = time.perf_counter()
+            # One lucid pool serves both nets (same augmentation
+            # distribution; generation is the host-side cost).
+            pool = build_lucid_pool(frame0, first_lab, cfg.finetune)
             new_refine, loss_r = finetune_refine(
                 models.refine, params["refine"], frame0, first_lab,
-                mesh, cfg.refine, cfg.finetune,
+                mesh, cfg.refine, cfg.finetune, pool=pool,
             )
             new_prop, loss_p = finetune_proposals(
                 models.maskrcnn, params["maskrcnn"], get_anchors(cfg),
                 cfg.proposal, frame0, first_lab, mesh, cfg.finetune,
-                max_objects=p.max_objects,
+                max_objects=p.max_objects, pool=pool,
             )
             seq_params = dict(params, refine=new_refine, maskrcnn=new_prop)
             log.info(

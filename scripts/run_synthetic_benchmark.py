@@ -324,7 +324,7 @@ def finetune_pair(args, cfg, models, params, ds_val, mesh,
     if weights is None:
         weights = DEFAULT_WEIGHTS
     from premvos_tpu.finetune.finetune import (
-        finetune_proposals, finetune_refine,
+        build_lucid_pool, finetune_proposals, finetune_refine,
     )
     from premvos_tpu.pipeline.runner import get_anchors
 
@@ -342,14 +342,15 @@ def finetune_pair(args, cfg, models, params, ds_val, mesh,
         frame0 = np.asarray(data["frames"][0])
         lab0 = np.asarray(data["gt_labels"][0])
         t0 = time.perf_counter()
+        pool = build_lucid_pool(frame0, lab0, ft_cfg, seed=args.seed)
         new_refine, loss_r = finetune_refine(
             models.refine, params["refine"], frame0, lab0, mesh,
-            cfg.refine, ft_cfg, seed=args.seed,
+            cfg.refine, ft_cfg, seed=args.seed, pool=pool,
         )
         new_prop, loss_p = finetune_proposals(
             models.maskrcnn, params["maskrcnn"], anchors, cfg.proposal,
             frame0, lab0, mesh, ft_cfg, seed=args.seed,
-            max_objects=p.max_objects,
+            max_objects=p.max_objects, pool=pool,
         )
         seq_params = dict(params, refine=new_refine, maskrcnn=new_prop)
         print(f"[finetune] {seq}: refine {loss_r:.4f} prop {loss_p:.4f} "

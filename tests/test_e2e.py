@@ -109,3 +109,38 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(back["a"]["w"]),
                                   np.asarray(params["a"]["w"]))
     np.testing.assert_array_equal(np.asarray(back["b"]), np.ones(4))
+
+
+def test_finetune_shared_pool(tmp_path):
+    """One prebuilt lucid pool must serve finetune_refine unchanged —
+    passing pool= skips host augmentation and trains identically."""
+    import jax
+
+    from premvos_tpu.config import FinetuneConfig, RefineConfig
+    from premvos_tpu.finetune.finetune import build_lucid_pool, finetune_refine
+    from premvos_tpu.models.deeplab import DeepLabV3Plus
+    from premvos_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    cfg = RefineConfig(crop_size=33, backbone_depth=26, box_margin=6.0)
+    model = DeepLabV3Plus(cfg=cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 33, 33, 4), np.float32)
+    )
+    frame = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    labels = np.zeros((64, 64), np.int32)
+    labels[20:40, 20:40] = 1
+    mesh = make_mesh(2)
+    ft = FinetuneConfig(num_augmentations=8, steps=4, batch_size=4,
+                        learning_rate=1e-3)
+    pool = build_lucid_pool(frame, labels, ft)
+    assert len(pool[0]) == 8 and len(pool[1]) == 8
+    new_params, loss = finetune_refine(
+        model, params, frame, labels, mesh, cfg, ft, pool=pool
+    )
+    assert np.isfinite(loss)
+    diff = jax.tree.map(
+        lambda a, b: float(abs(np.asarray(a) - np.asarray(b)).max()),
+        params, new_params,
+    )
+    assert max(jax.tree.leaves(diff)) > 0
