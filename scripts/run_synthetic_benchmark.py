@@ -147,6 +147,25 @@ def tune_weights(pre_tune, args, rng=None):
             "kind": "baseline"}]
     print(f"[tune] baseline (reference defaults) J&F = {best_t:.4f}",
           flush=True)
+    # Structured seeds from docs/SELECTION_DIAGNOSIS.md: the score floor is
+    # the anti-identity-swap knob (a swapped pick is a low-quality proposal
+    # whose total score stays low; floor>0 turns it into coasting instead
+    # of a stolen track). Seeding guarantees the search visits this region
+    # even at small trial budgets.
+    seeds = [
+        [1, 1, 1, 1, 1.0, f, d, 0.0]
+        for f in (0.5, 1.0, 1.5)
+        for d in (1.0, 0.6)
+    ]
+    for w in seeds:
+        w = np.asarray(w, np.float32)
+        t, _ = evaluate_weights(pre_tune, w, args.warp_stride)
+        log.append({"w": [float(x) for x in w],
+                    "tune_JF": round(float(t), 4), "kind": "seed"})
+        if t > best_t:
+            best_t, best_w = t, w
+            print(f"[tune] seed floor={w[5]} decay={w[6]} J&F={t:.4f}",
+                  flush=True)
     for i in range(args.tune_trials):
         w = sample_weights(rng)
         t, _ = evaluate_weights(pre_tune, w, args.warp_stride)
