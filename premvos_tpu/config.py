@@ -100,6 +100,17 @@ class ReIDConfig:
     crop_size: int = 128
     triplet_margin: float = 0.2  # batch-hard triplet (Hermans et al.)
     norm: str = "frozen_bn"
+    # L2-normalize the embedding INSIDE the net (train + inference on the
+    # unit sphere). Without this, batch-hard triplet can satisfy the margin
+    # radially (identity encoded in magnitude, direction collapsed), which
+    # the merge's scale-free exp(−d²/σ²) similarity then cannot see — see
+    # docs/SELECTION_DIAGNOSIS.md (measured: raw inter-id distance 10 vs
+    # intra 0.9–6, but normalized sims all ≥0.95; training on the sphere
+    # lifts the held-out sim margin 0.037 → 0.428 at equal steps).
+    # Inference-parity note: reid_similarity normalizes its inputs anyway,
+    # so this flag cannot change inference behavior for raw-trained or
+    # converted checkpoints — it only changes what the triplet loss sees.
+    l2_normalize: bool = True
 
 
 @dataclass(frozen=True)

@@ -38,4 +38,11 @@ class ReIDNet(nn.Module):
         x = jnp.mean(feats["C5"], axis=(-3, -2))  # global average pool
         x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="fc1")(x))
         emb = nn.Dense(self.cfg.embedding_dim, dtype=self.dtype, name="emb")(x)
-        return emb.astype(jnp.float32)
+        emb = emb.astype(jnp.float32)
+        if self.cfg.l2_normalize:
+            # Train AND infer on the unit sphere so identity must live in
+            # the embedding direction (ReIDConfig.l2_normalize docs).
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-6
+            )
+        return emb

@@ -80,3 +80,17 @@ def test_reid_embeddings(rng):
     assert bool(jnp.isfinite(emb).all())
     # different crops → different embeddings
     assert float(jnp.abs(emb[0] - emb[1]).sum()) > 0
+
+
+def test_reid_l2_normalize(rng):
+    """ReIDConfig.l2_normalize=True puts embeddings on the unit sphere
+    (train + inference; see docs/SELECTION_DIAGNOSIS.md for why raw
+    embeddings can hide identity in magnitude)."""
+    cfg = ReIDConfig(backbone_depth=26, embedding_dim=16, crop_size=32,
+                     l2_normalize=True)
+    model = ReIDNet(cfg=cfg)
+    crops = jnp.array(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), crops)
+    emb = model.apply(params, crops)
+    norms = jnp.linalg.norm(emb, axis=-1)
+    assert bool(jnp.allclose(norms, 1.0, atol=1e-4))
