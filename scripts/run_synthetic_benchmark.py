@@ -607,10 +607,14 @@ def main(argv=None):
             "difficulty": "crossing+occlusion, full disappearance/"
                           "re-appearance, look-alike distractors, scale change",
         },
-        "steps": {
-            "det": args.steps_det, "refine": args.steps_refine,
-            "reid": args.steps_reid, "flow": args.steps_flow,
-        },
+        "steps": (
+            # with --load-params the step args are unused — record the
+            # checkpoint provenance instead of misleading defaults
+            {"loaded_from": args.load_params} if args.load_params else {
+                "det": args.steps_det, "refine": args.steps_refine,
+                "reid": args.steps_reid, "flow": args.steps_flow,
+            }
+        ),
         "warp_stride": args.warp_stride,
         "detector": {
             "score_threshold": cfg.proposal.detection_score_threshold,
