@@ -71,12 +71,6 @@ def score_matrix(
     warp_iou = soft_mask_iou(warped, prop_masks)  # [K, N]
     sim = reid_similarity(state.ref_emb, prop_emb, cfg.reid_sigma)  # [K, N]
 
-    # Penalty: proposal overlap with *other* objects' warped masks.
-    # Σ_{j≠k} warped_j = Σ_j warped_j − warped_k — no [K, K, H, W] tensor.
-    total = jnp.sum(warped, axis=0, keepdims=True)  # [1, H, W]
-    other_union = jnp.clip(total - warped, 0.0, 1.0)  # [K, H, W]
-    overlap = soft_mask_iou(other_union, prop_masks)  # [K, N]
-
     # Decay the warp term for coasting tracks: a prior that has been warped
     # forward `staleness` frames without confirmation drifts; at warp_decay<1
     # ReID progressively takes over re-acquisition (warp_decay=1.0 ==
@@ -84,6 +78,19 @@ def score_matrix(
     decay = jnp.power(
         jnp.float32(cfg.warp_decay), state.staleness.astype(jnp.float32)
     )  # [K]
+
+    # Penalty: proposal overlap with *other* objects' warped masks.
+    # Σ_{j≠k} warped_j = Σ_j warped_j − warped_k — no [K, K, H, W] tensor.
+    # Each track's mask enters the union scaled by its own staleness decay:
+    # a coasting ghost must not suppress another object's correct proposal
+    # (tests/test_tracker_swap.py reproduces the ghost-squat false-absent
+    # this prevents; on the real benchmark the change measured neutral —
+    # docs/SELECTION_DIAGNOSIS.md). At warp_decay=1.0 (reference semantics)
+    # this is exactly the unscaled union.
+    w_dec = warped * decay[:, None, None]  # [K, H, W]
+    total = jnp.sum(w_dec, axis=0, keepdims=True)  # [1, H, W]
+    other_union = jnp.clip(total - w_dec, 0.0, 1.0)  # [K, H, W]
+    overlap = soft_mask_iou(other_union, prop_masks)  # [K, N]
     s = (
         cfg.w_objectness * prop_scores[None, :]
         + cfg.w_reid * sim
