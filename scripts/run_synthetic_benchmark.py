@@ -117,6 +117,8 @@ ABLATIONS = (
     ("no_warp", {"w_warp": 0.0}),
     ("no_overlap", {"w_overlap": 0.0}),
     ("no_objectness", {"w_objectness": 0.0}),
+    # the anti-identity-swap score floor (docs/SELECTION_DIAGNOSIS.md)
+    ("no_floor", {"new_object_score_floor": 0.0}),
 )
 
 
