@@ -148,6 +148,17 @@ class MergeConfig:
     # reference embedding. 0.0 = reference semantics (frame-0 GT anchor
     # only). >0 adapts the anchor to appearance drift (scale change etc.).
     reid_ema: float = 0.0
+    # ReID-gated relief of the score floor: a track whose assigned proposal
+    # misses new_object_score_floor is still accepted when its ReID
+    # similarity (exp(−d²/σ²) ∈ (0, 1]) is at least this threshold. This is
+    # the re-acquisition half of the floor trade-off diagnosed in
+    # docs/SELECTION_DIAGNOSIS.md: the floor blocks identity-swap cascades
+    # (a swapped pick scores low because it is the WRONG object — low sim),
+    # but it also rejects camouflage re-appearances whose only strong term
+    # IS the ReID similarity. Gating the relief on sim keeps the anti-swap
+    # property (sphere-trained ReID separates right/wrong by a 0.43 margin)
+    # while restoring re-acquisition. >1.0 = disabled = reference semantics.
+    reid_reacquire: float = 2.0
 
 
 @dataclass(frozen=True)
@@ -169,12 +180,31 @@ class PipelineConfig:
 
 @dataclass(frozen=True)
 class FinetuneConfig:
-    """Per-video lucid-dream fine-tuning (SURVEY §3.2)."""
+    """Per-video lucid-dream fine-tuning (SURVEY §3.2).
 
-    num_augmentations: int = 2500
+    method "fused" (default): augmentation + train step fused in one jitted
+    scan on device, fresh lucid draws every step (finetune/fused.py) — the
+    TPU-native path. method "pool": host-generated cv2 augmentation pool,
+    one dispatch per step (finetune/finetune.py) — the reference-shaped
+    oracle, ~40× slower end-to-end on this platform.
+    """
+
+    num_augmentations: int = 2500  # pool method only; fused draws per step
     steps: int = 500
     learning_rate: float = 1e-4
     batch_size: int = 8
+    method: str = "fused"  # "fused" | "pool"
+    # Steps per fused dispatch (lax.scan length). Amortizes dispatch
+    # overhead; two compiled programs max per net (chunk + remainder).
+    chunk: int = 25
+    # Object-local augmentation patch size (finetune/lucid_device.py):
+    # rotation/scale/elastic warps act on PxP patches, not full frames.
+    aug_patch: int = 256
+    # Fine-tune resolution of the proposal net relative to the inference
+    # canvas (rounded to the 32-px backbone grid). Detection fine-tuning
+    # learns the video's appearance, not its resolution; conv cost drops
+    # ~scale². Accuracy impact measured in docs/SYNTHETIC_BENCHMARK.json.
+    proposal_scale: float = 0.5
 
 
 @dataclass(frozen=True)

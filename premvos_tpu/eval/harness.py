@@ -7,10 +7,10 @@ harness, the ablation table, the warp-stride comparison) precomputes stages
 the cheap merge scan per candidate — weights are traced, so one compilation
 serves every candidate (see scripts/tune_merge.py cost notes).
 
-Weight vector convention ([8], matching runner.merge_labels_from_precomputed;
-a [6] prefix is also accepted there for back-compat):
+Weight vector convention ([9], matching runner.merge_labels_from_precomputed;
+[6]/[8] prefixes are also accepted there for back-compat):
   (w_objectness, w_reid, w_warp, w_overlap, reid_sigma,
-   new_object_score_floor, warp_decay, reid_ema)
+   new_object_score_floor, warp_decay, reid_ema, reid_reacquire)
 """
 
 from __future__ import annotations
@@ -18,13 +18,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-# Defaults = exact reference semantics (warp_decay 1.0, reid_ema 0.0).
+# Defaults = exact reference semantics (warp_decay 1.0, reid_ema 0.0,
+# reid_reacquire 2.0 = disabled since sim ≤ 1).
 DEFAULT_WEIGHTS = np.array(
-    [1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 1.0, 0.0], np.float32
+    [1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 1.0, 0.0, 2.0], np.float32
 )
 WEIGHT_NAMES = (
     "w_objectness", "w_reid", "w_warp", "w_overlap", "reid_sigma",
-    "new_object_score_floor", "warp_decay", "reid_ema",
+    "new_object_score_floor", "warp_decay", "reid_ema", "reid_reacquire",
 )
 
 
@@ -33,7 +34,7 @@ def weights_from_merge_cfg(cfg_m) -> np.ndarray:
         [
             cfg_m.w_objectness, cfg_m.w_reid, cfg_m.w_warp, cfg_m.w_overlap,
             cfg_m.reid_sigma, cfg_m.new_object_score_floor,
-            cfg_m.warp_decay, cfg_m.reid_ema,
+            cfg_m.warp_decay, cfg_m.reid_ema, cfg_m.reid_reacquire,
         ],
         np.float32,
     )

@@ -3,9 +3,17 @@
 The reference fine-tunes per video sequentially on one GPU — its dominant
 wall-clock cost (~38 s/frame amortized). Videos are independent, so here V
 videos fine-tune simultaneously: parameters are STACKED along a leading video
-axis, the train step is vmapped over that axis, and the axis is sharded over
-the device mesh — V independent optimizations, zero collectives, one jitted
-step. With V = #chips this divides fine-tuning wall-clock by the mesh size.
+axis, the axis is sharded over the device mesh with shard_map, and each
+device vmaps the train step over its local video slice — V independent
+optimizations, zero collectives, one jitted step. With V = #chips this
+divides fine-tuning wall-clock by the mesh size.
+
+shard_map (not a plain sharded vmap) is load-bearing: vmapping a conv over
+stacked kernels lowers to feature_group_count=V, and GSPMD partitioning of
+that conv over the video axis requires the LOCAL kernel's output features to
+be divisible by the GLOBAL group count — which fails exactly in the
+production regime of one video per chip. Inside shard_map the per-device
+program sees only its local slice, so no grouped-conv partitioning happens.
 """
 
 from __future__ import annotations
@@ -75,7 +83,17 @@ def finetune_refine_videos(
         up, opt = tx.update(g, opt, p)
         return optax.apply_updates(p, up), opt, loss
 
-    vstep = jax.jit(jax.vmap(single_step))
+    from jax import shard_map
+
+    vstep = jax.jit(
+        shard_map(
+            jax.vmap(single_step),
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data")),
+            check_vma=False,
+        )
+    )
 
     shard_v = NamedSharding(mesh, P("data"))
 

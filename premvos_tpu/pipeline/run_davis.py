@@ -94,37 +94,24 @@ def main(argv=None):
     ):
         seq_params = params
         if args.finetune:
-            from premvos_tpu.finetune.finetune import (
-                build_lucid_pool,
-                finetune_proposals,
-                finetune_refine,
-            )
-            from premvos_tpu.pipeline.runner import get_anchors
+            from premvos_tpu.finetune.fused import finetune_video
 
             first_lab = (
                 seq["gt_labels"][0]
                 if len(seq["gt_labels"])
                 else np.zeros(seq["frames"].shape[1:3], np.int32)
             )
-            # cv2-based augmentation needs host arrays.
             frame0 = np.asarray(seq["frames"][0])
             t0 = time.perf_counter()
-            # One lucid pool serves both nets (same augmentation
-            # distribution; generation is the host-side cost).
-            pool = build_lucid_pool(frame0, first_lab, cfg.finetune)
-            new_refine, loss_r = finetune_refine(
-                models.refine, params["refine"], frame0, first_lab,
-                mesh, cfg.refine, cfg.finetune, pool=pool,
+            # FinetuneConfig.method dispatch: fused on-device augmentation
+            # + scanned train steps (default) or the host-pool oracle.
+            seq_params, losses = finetune_video(
+                models, params, frame0, first_lab, mesh, cfg,
             )
-            new_prop, loss_p = finetune_proposals(
-                models.maskrcnn, params["maskrcnn"], get_anchors(cfg),
-                cfg.proposal, frame0, first_lab, mesh, cfg.finetune,
-                max_objects=p.max_objects, pool=pool,
-            )
-            seq_params = dict(params, refine=new_refine, maskrcnn=new_prop)
             log.info(
                 "finetuned %s in %.1fs (refine %.4f, proposal %.4f)",
-                name, time.perf_counter() - t0, loss_r, loss_p,
+                name, time.perf_counter() - t0,
+                losses["refine"], losses["proposal"],
             )
 
         profiling = args.profile_dir and not results and total_frames == 0

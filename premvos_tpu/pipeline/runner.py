@@ -298,11 +298,11 @@ def merge_labels_from_precomputed(
 ):
     """Replay ONLY the merge scan over precomputed stage outputs.
 
-    weights: [6] or [8] array — (w_objectness, w_reid, w_warp, w_overlap,
-    reid_sigma, new_object_score_floor[, warp_decay, reid_ema]). Traced, so
-    a single compilation serves every tuning candidate. Returns labels
-    [T, H, W] int32 (frame 0 = the annotation, as in run_sequence;
-    DAVIS-protocol intro at frame 0).
+    weights: [6], [8] or [9] array — (w_objectness, w_reid, w_warp,
+    w_overlap, reid_sigma, new_object_score_floor[, warp_decay, reid_ema[,
+    reid_reacquire]]). Traced, so a single compilation serves every tuning
+    candidate. Returns labels [T, H, W] int32 (frame 0 = the annotation, as
+    in run_sequence; DAVIS-protocol intro at frame 0).
     """
     from premvos_tpu.config import MergeConfig
 
@@ -315,6 +315,7 @@ def merge_labels_from_precomputed(
         new_object_score_floor=weights[5],
         warp_decay=weights[6] if weights.shape[0] > 6 else 1.0,
         reid_ema=weights[7] if weights.shape[0] > 7 else 0.0,
+        reid_reacquire=weights[8] if weights.shape[0] > 8 else 2.0,
         warp_stride=warp_stride,
         warp_impl=warp_impl,
     )

@@ -66,8 +66,11 @@ def score_matrix(
     prop_emb: jnp.ndarray,
     prop_valid: jnp.ndarray,
     cfg: MergeConfig,
-) -> jnp.ndarray:
-    """[K, N] merge scores; invalid entries at NEG."""
+):
+    """([K, N] merge scores, [K, N] raw ReID similarities); invalid score
+    entries at NEG. The similarity matrix is returned alongside so the
+    caller can apply the ReID-gated floor relief (MergeConfig
+    .reid_reacquire) to the picked proposal without recomputing it."""
     warp_iou = soft_mask_iou(warped, prop_masks)  # [K, N]
     sim = reid_similarity(state.ref_emb, prop_emb, cfg.reid_sigma)  # [K, N]
 
@@ -98,7 +101,7 @@ def score_matrix(
         - cfg.w_overlap * overlap
     )
     ok = jnp.logical_and(state.active[:, None], prop_valid[None, :])
-    return jnp.where(ok, s, NEG)
+    return jnp.where(ok, s, NEG), jnp.where(ok, sim, 0.0)
 
 
 def greedy_assign(scores: jnp.ndarray):
@@ -182,16 +185,23 @@ def merge_frame(
     warped = warp_masks_coarse(
         state.prev_masks, flow_back, cfg.warp_stride, cfg.warp_impl
     )  # [K, H, W]
-    s = score_matrix(
+    s, sim = score_matrix(
         state, warped, prop_masks, prop_scores, prop_emb, prop_valid, cfg
     )
     assign, a_score = greedy_assign(s)
 
     picked = jnp.maximum(assign, 0)
     sel = prop_masks[picked]  # [K, H, W]
-    present = jnp.logical_and(
-        assign >= 0, a_score > cfg.new_object_score_floor
+    # Acceptance: total score above the anti-swap floor, OR a confident
+    # ReID match (sim ≥ reid_reacquire) — the re-acquisition relief for
+    # camouflage objects whose warp/objectness terms are near zero after
+    # an occlusion (docs/SELECTION_DIAGNOSIS.md "false_absent" half).
+    sim_picked = jnp.take_along_axis(sim, picked[:, None], axis=1)[:, 0]
+    accept = jnp.logical_or(
+        a_score > cfg.new_object_score_floor,
+        sim_picked >= cfg.reid_reacquire,
     )
+    present = jnp.logical_and(assign >= 0, accept)
     present = jnp.logical_and(present, state.active)
     sel = sel * present[:, None, None].astype(sel.dtype)
 

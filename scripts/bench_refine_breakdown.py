@@ -75,18 +75,21 @@ def main(argv=None):
         )
         results[name] = emit(name, m, "crops/sec (marginal)", t1, n, t2, 2 * n)
 
-    net_row("net385", cfg.refine, cfg.refine.crop_size)
-    net_row("net384", dataclasses.replace(cfg.refine, crop_size=384), 384)
+    s0 = cfg.refine.crop_size
+    net_row(f"net{s0}", cfg.refine, s0)
+    if s0 != 384:  # even-grid comparison row only when it differs
+        net_row("net384", dataclasses.replace(cfg.refine, crop_size=384), 384)
     net_row(
-        "net_os32_385",
+        f"net_os32_{s0}",
         dataclasses.replace(cfg.refine, output_stride=32),
-        cfg.refine.crop_size,
+        s0,
     )
-    net_row(
-        "net_os32_384",
-        dataclasses.replace(cfg.refine, output_stride=32, crop_size=384),
-        384,
-    )
+    if s0 != 384:
+        net_row(
+            "net_os32_384",
+            dataclasses.replace(cfg.refine, output_stride=32, crop_size=384),
+            384,
+        )
 
     # crop+paste einsums per frame (n crops), both interp precisions
     h, w = p.image_height, p.image_width
@@ -100,17 +103,23 @@ def main(argv=None):
             )
             full = refined_fullres(clog, cb, jnp.ones(boxes.shape[0]), h, w,
                                    prec)
-            return crops.sum(), full.sum()
+            # one fused scalar: the single-element host read in marginal()
+            # must transitively force BOTH einsum paths into the timed region
+            return crops.sum() + full.sum()
 
         f = jax.jit(stage)
 
         def mk(sd, b):
+            # box CONTENT is timing-irrelevant for XLA (static shapes), but
+            # clamp to the image anyway so the benchmarked distribution
+            # matches production (no degenerate clipped crops)
             rng = np.random.default_rng(sd)
             x1 = rng.uniform(0, w - 40, b)
             y1 = rng.uniform(0, h - 40, b)
             boxes = np.stack(
-                [x1, y1, x1 + rng.uniform(20, 200, b),
-                 y1 + rng.uniform(20, 200, b)], -1
+                [x1, y1,
+                 np.minimum(x1 + rng.uniform(20, 200, b), w - 1.0),
+                 np.minimum(y1 + rng.uniform(20, 200, b), h - 1.0)], -1
             ).astype(np.float32)
             return (
                 fresh(sd, (h, w, 3)),

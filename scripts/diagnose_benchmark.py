@@ -208,7 +208,12 @@ def main(argv=None):
     wvec = np.asarray(DEFAULT_WEIGHTS)
     if args.weights:
         wd = json.load(open(args.weights))["weights"]
-        wvec = np.array([wd[n] for n in WEIGHT_NAMES], np.float32)
+        # older tuned records predate trailing knobs — fall back to the
+        # reference-semantics default for any name they lack
+        wvec = np.array(
+            [wd.get(n, d) for n, d in zip(WEIGHT_NAMES, DEFAULT_WEIGHTS)],
+            np.float32,
+        )
     cfg_m = MergeConfig(
         **dict(zip(WEIGHT_NAMES, [float(x) for x in wvec])),
         warp_stride=args.warp_stride,

@@ -119,6 +119,8 @@ ABLATIONS = (
     ("no_objectness", {"w_objectness": 0.0}),
     # the anti-identity-swap score floor (docs/SELECTION_DIAGNOSIS.md)
     ("no_floor", {"new_object_score_floor": 0.0}),
+    # ReID-gated floor relief (camouflage re-acquisition; 2.0 = disabled)
+    ("no_reacquire", {"reid_reacquire": 2.0}),
 )
 
 
@@ -159,9 +161,10 @@ def tune_weights(pre_tune, args, rng=None):
     # of a stolen track). Seeding guarantees the search visits this region
     # even at small trial budgets.
     seeds = [
-        [1, 1, 1, 1, 1.0, f, d, 0.0]
+        [1, 1, 1, 1, 1.0, f, d, 0.0, r]
         for f in (0.5, 1.0, 1.5)
         for d in (1.0, 0.6)
+        for r in (2.0, 0.7)  # floor relief off / ReID-confident band
     ]
     for w in seeds:
         w = np.asarray(w, np.float32)
@@ -182,10 +185,16 @@ def tune_weights(pre_tune, args, rng=None):
             print(f"[tune] {i + 1}/{args.tune_trials} J&F={t:.4f} "
                   f"w={np.round(w, 3).tolist()}", flush=True)
     for i in range(args.tune_local):
-        w = (best_w * np.exp(rng.normal(0, 0.22, size=8))).astype(np.float32)
+        w = (best_w * np.exp(rng.normal(0, 0.22, size=9))).astype(np.float32)
         w[5] = max(0.0, float(best_w[5] + rng.normal(0, 0.2)))
         w[6] = float(np.clip(best_w[6] * np.exp(rng.normal(0, 0.1)), 0.3, 1.0))
         w[7] = float(np.clip(best_w[7] + rng.normal(0, 0.08), 0.0, 0.7))
+        # sim-unit jitter when the relief is on; when the incumbent is off
+        # (≥ 1.0 means "off", sim ≤ 1) half the trials try turning it on
+        if best_w[8] < 1.0:
+            w[8] = float(np.clip(best_w[8] + rng.normal(0, 0.08), 0.3, 0.99))
+        else:
+            w[8] = 2.0 if rng.random() < 0.5 else float(rng.uniform(0.5, 0.95))
         t, _ = evaluate_weights(pre_tune, w, args.warp_stride)
         log.append({"w": [float(x) for x in w],
                     "tune_JF": round(float(t), 4), "kind": "local"})
@@ -340,7 +349,13 @@ def train_all(args, cfg, ds_train, root, mesh):
 
 def finetune_pair(args, cfg, models, params, ds_val, mesh,
                   precomputed_plain, weights=None):
-    """Per-video fine-tune on each val sequence's frame 0 → J&F pair."""
+    """Per-video fine-tune on each val sequence's frame 0 → J&F pair.
+
+    --finetune-steps accepts several step counts: the resulting
+    steps-vs-J&F curve locates the knee that justifies the production
+    FinetuneConfig.steps (VERDICT r3 item 1b). --ft-method selects the
+    fused on-device path (the shipped default) or the host-pool oracle.
+    """
     from premvos_tpu.config import FinetuneConfig
     from premvos_tpu.eval.davis_eval import evaluate_dataset
     from premvos_tpu.eval.harness import (
@@ -348,51 +363,80 @@ def finetune_pair(args, cfg, models, params, ds_val, mesh,
     )
     if weights is None:
         weights = DEFAULT_WEIGHTS
-    from premvos_tpu.finetune.finetune import (
-        build_lucid_pool, finetune_proposals, finetune_refine,
-    )
-    from premvos_tpu.pipeline.runner import get_anchors
 
     p = cfg.pipeline
-    ft_cfg = FinetuneConfig(
-        num_augmentations=max(args.steps_finetune, 64),
-        steps=args.steps_finetune, learning_rate=1e-4, batch_size=8,
-    )
-    anchors = get_anchors(cfg)
-    results = []
-    for seq in ds_val.sequences:
-        data = ds_val.load_sequence(
-            seq, p.image_height, p.image_width, p.max_objects
-        )
-        frame0 = np.asarray(data["frames"][0])
-        lab0 = np.asarray(data["gt_labels"][0])
-        t0 = time.perf_counter()
-        pool = build_lucid_pool(frame0, lab0, ft_cfg, seed=args.seed)
-        new_refine, loss_r = finetune_refine(
-            models.refine, params["refine"], frame0, lab0, mesh,
-            cfg.refine, ft_cfg, seed=args.seed, pool=pool,
-        )
-        new_prop, loss_p = finetune_proposals(
-            models.maskrcnn, params["maskrcnn"], anchors, cfg.proposal,
-            frame0, lab0, mesh, ft_cfg, seed=args.seed,
-            max_objects=p.max_objects, pool=pool,
-        )
-        seq_params = dict(params, refine=new_refine, maskrcnn=new_prop)
-        print(f"[finetune] {seq}: refine {loss_r:.4f} prop {loss_p:.4f} "
-              f"({time.perf_counter() - t0:.0f}s)", flush=True)
-        pre = precompute_split(
-            models, seq_params, cfg, ds_val, [seq], verbose=False
-        )
-        _, res = evaluate_weights(pre, weights, args.warp_stride)
-        results.extend(res)
-    with_ft = evaluate_dataset(results)["J&F"]
     without_ft, _ = evaluate_weights(
         precomputed_plain, weights, args.warp_stride
     )
+    curve = []
+    for steps in args.finetune_steps:
+        ft_cfg = FinetuneConfig(
+            num_augmentations=max(steps, 64),
+            steps=steps, learning_rate=1e-4, batch_size=8,
+            method=args.ft_method,
+        )
+        results = []
+        total_t = 0.0
+        for seq in ds_val.sequences:
+            data = ds_val.load_sequence(
+                seq, p.image_height, p.image_width, p.max_objects
+            )
+            frame0 = np.asarray(data["frames"][0])
+            lab0 = np.asarray(data["gt_labels"][0])
+            t0 = time.perf_counter()
+            if args.ft_method == "fused":
+                from premvos_tpu.finetune.fused import finetune_video_fused
+
+                seq_params, losses = finetune_video_fused(
+                    models, params, frame0, lab0, mesh, cfg,
+                    ft_cfg=ft_cfg, seed=args.seed,
+                )
+                loss_r, loss_p = losses["refine"], losses["proposal"]
+            else:
+                from premvos_tpu.finetune.finetune import (
+                    build_lucid_pool, finetune_proposals, finetune_refine,
+                )
+                from premvos_tpu.pipeline.runner import get_anchors
+
+                anchors = get_anchors(cfg)
+                pool = build_lucid_pool(frame0, lab0, ft_cfg, seed=args.seed)
+                new_refine, loss_r = finetune_refine(
+                    models.refine, params["refine"], frame0, lab0, mesh,
+                    cfg.refine, ft_cfg, seed=args.seed, pool=pool,
+                )
+                new_prop, loss_p = finetune_proposals(
+                    models.maskrcnn, params["maskrcnn"], anchors,
+                    cfg.proposal, frame0, lab0, mesh, ft_cfg,
+                    seed=args.seed, max_objects=p.max_objects, pool=pool,
+                )
+                seq_params = dict(
+                    params, refine=new_refine, maskrcnn=new_prop
+                )
+            dt = time.perf_counter() - t0
+            total_t += dt
+            print(f"[finetune/{steps}] {seq}: refine {loss_r:.4f} "
+                  f"prop {loss_p:.4f} ({dt:.0f}s)", flush=True)
+            pre = precompute_split(
+                models, seq_params, cfg, ds_val, [seq], verbose=False
+            )
+            _, res = evaluate_weights(pre, weights, args.warp_stride)
+            results.extend(res)
+        with_ft = evaluate_dataset(results)["J&F"]
+        curve.append({
+            "steps": steps,
+            "J&F": round(float(with_ft), 4),
+            "seconds_per_video": round(total_t / len(ds_val.sequences), 1),
+        })
+        print(f"[finetune] steps={steps}: J&F {with_ft:.4f} "
+              f"(no-finetune {without_ft:.4f})", flush=True)
+    best = max(curve, key=lambda r: r["J&F"])
     return {
         "without_finetune_JF": round(float(without_ft), 4),
-        "with_finetune_JF": round(float(with_ft), 4),
-        "finetune_steps": args.steps_finetune,
+        "with_finetune_JF": best["J&F"],
+        "finetune_steps": best["steps"],
+        "method": args.ft_method,
+        "proposal_scale": cfg.finetune.proposal_scale,
+        "curve": curve,
     }
 
 
@@ -410,7 +454,14 @@ def main(argv=None):
     ap.add_argument("--steps-refine", type=int, default=None)
     ap.add_argument("--steps-reid", type=int, default=None)
     ap.add_argument("--steps-flow", type=int, default=None)
-    ap.add_argument("--steps-finetune", type=int, default=150)
+    ap.add_argument("--steps-finetune", type=int, default=150,
+                    help="deprecated alias for --finetune-steps N")
+    ap.add_argument("--finetune-steps", type=int, nargs="+", default=None,
+                    help="step counts for the steps-vs-J&F knee curve")
+    ap.add_argument("--ft-method", default="fused",
+                    choices=["fused", "pool"],
+                    help="fused on-device finetune (shipped default) or "
+                         "the host-pool oracle path")
     ap.add_argument("--threshold", type=float, default=0.6)
     ap.add_argument("--warp-stride", type=int, default=1)
     ap.add_argument("--tune-trials", type=int, default=192,
@@ -418,6 +469,15 @@ def main(argv=None):
     ap.add_argument("--tune-local", type=int, default=96,
                     help="local-refinement trials around the best")
     ap.add_argument("--n-tune", type=int, default=None)
+    ap.add_argument("--tune-seeds", type=int, nargs="+", default=None,
+                    help="generator seeds whose tune splits are POOLED for "
+                         "the weight search (default: just --seed). "
+                         "Multi-seed tuning is the round-4 fix for "
+                         "draw-overfit tuned weights (VERDICT r3 item 3)")
+    ap.add_argument("--val-seeds", type=int, nargs="+", default=None,
+                    help="generator seeds evaluated as INDEPENDENT held-out "
+                         "draws (default: just --seed); the gate requires "
+                         "every draw to clear --threshold")
     ap.add_argument("--tuned-out", default="configs/merge_tuned.json",
                     help="where to write the tuned weights + trial log")
     ap.add_argument("--finetune", action="store_true",
@@ -443,6 +503,9 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.finetune_steps is None:
+        args.finetune_steps = [args.steps_finetune]
 
     base = 150 if args.quick else 600
     args.steps_det = args.steps_det or 2 * base
@@ -477,8 +540,36 @@ def main(argv=None):
             size_scale=p.image_height / 64.0,
         )
     ds_train = DavisDataset(root, split="train")
-    ds_tune = DavisDataset(root, split="tune")
-    ds_val = DavisDataset(root, split="val")
+
+    # Multi-seed protocol (VERDICT r3 items 2 & 3): tune splits from
+    # several generator seeds are POOLED for the weight search, and each
+    # --val-seeds world is an INDEPENDENT held-out draw — the gate requires
+    # every draw to pass, and the ablation table is reported per draw so
+    # "load-bearing" claims are stable, not one-draw artifacts.
+    tune_seeds = args.tune_seeds or [args.seed]
+    val_seeds = args.val_seeds or [args.seed]
+
+    def world_root(s):
+        if s == args.seed:
+            return root
+        r = f"{root.rstrip('/')}_s{s}"
+        if not os.path.exists(os.path.join(r, "ImageSets")):
+            print(f"[bench] generating seed-{s} world at {r}", flush=True)
+            make_synthetic_vos(
+                r, n_train=0, n_tune=n_tune, n_val=n_val, t=args.frames,
+                hw=(p.image_height, p.image_width),
+                n_tracked=args.n_tracked,
+                n_distractors=args.n_distractors, seed=s,
+                flow_pairs=False,
+                size_scale=p.image_height / 64.0,
+            )
+        return r
+
+    tune_sets = [DavisDataset(world_root(s), split="tune")
+                 for s in tune_seeds]
+    val_sets = {s: DavisDataset(world_root(s), split="val")
+                for s in val_seeds}
+    ds_val = val_sets[val_seeds[0]]
     mesh = make_mesh(1)
 
     if args.load_params:
@@ -496,8 +587,11 @@ def main(argv=None):
             save_params(args.save_params, params)
             print(f"[bench] params saved to {args.save_params}", flush=True)
 
-    print("[bench] precomputing tune sequences ...", flush=True)
-    pre_tune = precompute_split(models, params, cfg, ds_tune)
+    print(f"[bench] precomputing tune sequences (seeds {tune_seeds}) ...",
+          flush=True)
+    pre_tune = []
+    for ds_t in tune_sets:
+        pre_tune.extend(precompute_split(models, params, cfg, ds_t))
     tuned_w, tune_jf, trial_log = tune_weights(pre_tune, args)
     if args.tuned_out:
         from premvos_tpu.eval.harness import WEIGHT_NAMES
@@ -511,8 +605,11 @@ def main(argv=None):
                     ),
                     "tune_JF": round(tune_jf, 4),
                     "baseline_tune_JF": trial_log[0]["tune_JF"],
-                    "protocol": "random+local search on the benchmark tune "
-                                "split (disjoint from train and val)",
+                    "protocol": "random+local search on the POOLED tune "
+                                "splits of generator seeds "
+                                f"{tune_seeds} (disjoint from train and "
+                                "every val draw)",
+                    "tune_seeds": tune_seeds,
                     "trials": trial_log,
                 },
                 f, indent=2,
@@ -520,37 +617,79 @@ def main(argv=None):
         print(f"[tune] best J&F = {tune_jf:.4f} → {args.tuned_out}",
               flush=True)
 
-    print("[bench] precomputing val sequences ...", flush=True)
-    precomputed = precompute_split(models, params, cfg, ds_val)
+    draws = {}
+    precomputed = None  # primary draw's precompute, reused below
+    for vs in val_seeds:
+        print(f"[bench] precomputing val sequences (seed {vs}) ...",
+              flush=True)
+        pre_v = precompute_split(models, params, cfg, val_sets[vs])
+        if vs == val_seeds[0]:
+            precomputed = pre_v
+        jf_v, per_seq_v = evaluate_weights(pre_v, tuned_w, args.warp_stride)
+        default_v, _ = evaluate_weights(
+            pre_v, DEFAULT_WEIGHTS, args.warp_stride
+        )
+        oracle_v = oracle_jf(pre_v)
+        abl_v = {}
+        if not args.no_ablation:
+            for name, over in ABLATIONS[1:]:  # term ablations on EVERY draw
+                w = ablation_weights(tuned_w, over)
+                score, _ = evaluate_weights(pre_v, w, args.warp_stride)
+                abl_v[name] = round(float(score), 4)
+        draws[str(vs)] = {
+            "J&F": round(float(jf_v), 4),
+            "J": round(float(np.mean([r["J"] for r in per_seq_v])), 4),
+            "F": round(float(np.mean([r["F"] for r in per_seq_v])), 4),
+            "default_weights_JF": round(float(default_v), 4),
+            "oracle_selection_JF": round(oracle_v, 4),
+            "per_sequence": {
+                s: round(r["J&F"], 4)
+                for s, r in zip(val_sets[vs].sequences, per_seq_v)
+            },
+            "ablation": abl_v,
+        }
+        print(f"[bench] draw {vs}: HELD-OUT J&F = {jf_v:.4f} "
+              f"(defaults {default_v:.4f}, oracle {oracle_v:.4f}, "
+              f"ablations {abl_v})", flush=True)
 
-    jf, per_seq = evaluate_weights(precomputed, tuned_w, args.warp_stride)
-    default_jf, _ = evaluate_weights(
-        precomputed, DEFAULT_WEIGHTS, args.warp_stride
-    )
-    oracle = oracle_jf(precomputed)
+    jf_all = [d["J&F"] for d in draws.values()]
+    jf = float(np.mean(jf_all))
     held_out = {
-        "J&F": round(float(jf), 4),
-        "J": round(float(np.mean([r["J"] for r in per_seq])), 4),
-        "F": round(float(np.mean([r["F"] for r in per_seq])), 4),
-        "default_weights_JF": round(float(default_jf), 4),
-        "oracle_selection_JF": round(oracle, 4),
-        "per_sequence": {
-            s: round(r["J&F"], 4)
-            for s, r in zip(ds_val.sequences, per_seq)
-        },
+        "J&F": round(jf, 4),
+        "J&F_min_draw": round(float(np.min(jf_all)), 4),
+        "default_weights_JF": round(
+            float(np.mean([d["default_weights_JF"] for d in draws.values()])),
+            4,
+        ),
+        "oracle_selection_JF": round(
+            float(np.mean([d["oracle_selection_JF"] for d in draws.values()])),
+            4,
+        ),
+        "draws": draws,
+        "tune_seeds": tune_seeds,
+        "val_seeds": val_seeds,
     }
-    print(f"[bench] HELD-OUT J&F = {jf:.4f}  (gate {args.threshold}; "
-          f"defaults {default_jf:.4f}, oracle ceiling {oracle:.4f})",
-          flush=True)
+    print(f"[bench] HELD-OUT J&F = {jf:.4f} mean / "
+          f"{held_out['J&F_min_draw']:.4f} min over {len(val_seeds)} draws "
+          f"(gate {args.threshold})", flush=True)
 
     ablation = []
     if not args.no_ablation:
         for name, over in ABLATIONS:
             w = ablation_weights(tuned_w, over)
-            score, _ = evaluate_weights(precomputed, w, args.warp_stride)
-            ablation.append({"name": name, "J&F": round(float(score), 4),
-                             **{k: float(v) for k, v in over.items()}})
-            print(f"[ablation] {name:>14}: J&F = {score:.4f}", flush=True)
+            scores = [
+                draws[str(vs)]["ablation"].get(name) for vs in val_seeds
+            ] if name != "tuned" else jf_all
+            if name != "tuned":
+                scores = [s for s in scores if s is not None]
+            ablation.append({
+                "name": name,
+                "J&F": round(float(np.mean(scores)), 4),
+                "per_draw": [round(float(s), 4) for s in scores],
+                **{k: float(v) for k, v in over.items()},
+            })
+            print(f"[ablation] {name:>14}: J&F = {ablation[-1]['J&F']:.4f} "
+                  f"per-draw {ablation[-1]['per_draw']}", flush=True)
         ws2, _ = evaluate_weights(precomputed, tuned_w, warp_stride=2)
         ablation.append({"name": "warp_stride2", "J&F": round(float(ws2), 4)})
         print(f"[ablation]   warp_stride2: J&F = {ws2:.4f}", flush=True)
@@ -627,7 +766,8 @@ def main(argv=None):
             "max_proposals": p.max_proposals,
         },
         "threshold": args.threshold,
-        "passed": bool(jf >= args.threshold),
+        # the gate requires EVERY independent draw to clear the threshold
+        "passed": bool(held_out["J&F_min_draw"] >= args.threshold),
         "platform": jax.default_backend(),
         "config": "demo_config() — depth-26 GroupNorm nets, "
                   f"{p.image_height}×{p.image_width} canvas",

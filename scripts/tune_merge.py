@@ -44,15 +44,19 @@ from premvos_tpu.eval.harness import (  # noqa: E402
 
 
 def sample_weights(rng: np.random.Generator) -> np.ndarray:
-    """Log-uniform weights, uniform score floor; warp_decay/reid_ema mix
-    the reference value (1.0 / 0.0 — half the mass) with a search range, so
-    the extensions only survive tuning when they actually earn their keep."""
+    """Log-uniform weights, uniform score floor; warp_decay/reid_ema/
+    reid_reacquire mix the reference value (1.0 / 0.0 / disabled — half the
+    mass) with a search range, so the extensions only survive tuning when
+    they actually earn their keep."""
     w = np.exp(rng.uniform(np.log(0.2), np.log(3.0), size=4))
     sigma = np.exp(rng.uniform(np.log(0.3), np.log(3.0)))
     floor = rng.uniform(0.0, 1.5)
     decay = 1.0 if rng.random() < 0.5 else rng.uniform(0.4, 1.0)
     ema = 0.0 if rng.random() < 0.5 else rng.uniform(0.0, 0.5)
-    return np.array([*w, sigma, floor, decay, ema], np.float32)
+    # ReID-gated floor relief (sim ∈ (0,1]; 2.0 = disabled): only useful
+    # where the floor bites, so sample the confident-sim band when on.
+    reacq = 2.0 if rng.random() < 0.5 else rng.uniform(0.4, 0.98)
+    return np.array([*w, sigma, floor, decay, ema, reacq], np.float32)
 
 
 def main():

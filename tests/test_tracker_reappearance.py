@@ -107,6 +107,58 @@ def test_warp_decay_downweights_stale_prior():
     assert run(MergeConfig(w_warp=2.0, warp_decay=0.5)) == 2
 
 
+def test_reid_reacquire_relieves_floor_for_confident_match():
+    """A camouflage re-appearance whose ONLY strong term is ReID must be
+    accepted when sim ≥ reid_reacquire even though its total score misses
+    the anti-swap floor — and a wrong-identity proposal (low sim) must
+    still be blocked by the floor (docs/SELECTION_DIAGNOSIS.md: the
+    false_absent half of the floor trade-off)."""
+    h = w = 16
+    gt = np.zeros((1, h, w), np.float32)
+    gt[0, 2:6, 2:6] = 1.0
+    gt_emb = np.zeros((1, 8), np.float32)
+    gt_emb[0, 0] = 1.0
+    zero_flow = jnp.zeros((h, w, 2))
+
+    def reappear(cfg, match_emb):
+        state = init_state(jnp.array(gt), jnp.array(gt_emb), 1)
+        # frame 1: gone (no valid proposal) → track coasts
+        state, _, _ = merge_frame(
+            state, jnp.zeros((2, h, w)), jnp.array([0.0, 0.0]),
+            jnp.zeros((2, 8)), jnp.array([False, False]), zero_flow, cfg,
+        )
+        # frame 2: re-appearance elsewhere, objectness ~0 (camouflage),
+        # warp-IoU 0 (moved) — total score is essentially w_reid·sim
+        props = np.zeros((2, h, w), np.float32)
+        props[0, 9:13, 9:13] = 1.0
+        emb = np.zeros((2, 8), np.float32)
+        emb[0] = match_emb
+        state, labels, info = merge_frame(
+            state, jnp.array(props), jnp.array([0.05, 0.0]),
+            jnp.array(emb), jnp.array([True, False]), zero_flow, cfg,
+        )
+        return bool(info["present"][0]), np.asarray(labels)
+
+    right = np.array([1, 0, 0, 0, 0, 0, 0, 0], np.float32)
+    wrong = np.array([0, 1, 0, 0, 0, 0, 0, 0], np.float32)
+    floor_cfg = dict(new_object_score_floor=1.2, reid_sigma=1.0)
+
+    # floor alone: the re-appearance is lost (score ≈ 1.05 < 1.2)
+    present, _ = reappear(MergeConfig(**floor_cfg), right)
+    assert not present
+    # with the relief at 0.9: exact-match sim = 1.0 ≥ 0.9 → re-acquired
+    present, labels = reappear(
+        MergeConfig(**floor_cfg, reid_reacquire=0.9), right
+    )
+    assert present and (labels[9:13, 9:13] == 1).all()
+    # wrong identity (sim = exp(−2) ≈ 0.14 < 0.9): floor still blocks —
+    # the relief must not reopen the identity-swap hole
+    present, _ = reappear(
+        MergeConfig(**floor_cfg, reid_reacquire=0.9), wrong
+    )
+    assert not present
+
+
 def test_reid_ema_adapts_reference_embedding():
     """reid_ema > 0 folds the assigned proposal's embedding into the track
     anchor; at 0.0 (default) the anchor is the immutable frame-0 GT."""
