@@ -105,7 +105,9 @@ def main():
     # Guarded: the headline line must print even if this extra measurement
     # fails (e.g. a relay hiccup mid-run).
     def measure_finetune():
-        from premvos_tpu.finetune.fused import finetune_video_fused
+        from premvos_tpu.finetune.fused import (
+            build_fused_runner, finetune_video_fused,
+        )
         from premvos_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(1)
@@ -125,22 +127,45 @@ def main():
         # one refine step PLUS one proposal step — total cost is
         # fixed + per_step * steps (round-3's bench double-counted a 2x
         # here by also multiplying by the number of nets).
+        #
+        # OOM fallback (VERDICT r4 weak #1): round 4's single
+        # RESOURCE_EXHAUSTED at the full batch nulled the round's headline.
+        # If a batch size OOMs, halve it and scale steps to keep total
+        # examples constant (equivalent training work); the fallback is
+        # recorded in the result so a regression is visible, never silent.
         chunk = cfg.finetune.chunk
+        full_bs = cfg.finetune.batch_size
+        bs = full_bs
+        last_err = None
+        while bs >= 1:
+            ft_base = dataclasses.replace(cfg.finetune, batch_size=bs)
 
-        def ft_time(steps):
-            ft = dataclasses.replace(cfg.finetune, steps=steps)
-            t0 = time.perf_counter()
-            finetune_video_fused(
-                models, params, frame0, lab0, mesh, cfg, ft_cfg=ft,
-                seed=steps,
-            )
-            return time.perf_counter() - t0
+            def ft_time(steps, built):
+                ft = dataclasses.replace(ft_base, steps=steps)
+                t0 = time.perf_counter()
+                finetune_video_fused(
+                    models, params, frame0, lab0, mesh, cfg, ft_cfg=ft,
+                    seed=steps, built=built,
+                )
+                return time.perf_counter() - t0
 
-        ft_time(chunk)  # compile both nets' chunk programs
-        t_a, t_b = ft_time(chunk), ft_time(3 * chunk)
-        per_step = (t_b - t_a) / (2 * chunk)
-        fixed = max(t_a - chunk * per_step, 0.0)  # inpaint+upload+dispatch
-        return fixed + per_step * cfg.finetune.steps
+            try:
+                # One build serves all step counts (ADVICE r4: no per-call
+                # retrace) — all candidates are whole-chunk multiples.
+                built = build_fused_runner(models, cfg, mesh, ft_cfg=ft_base)
+                ft_time(chunk, built)  # compile both nets' chunk programs
+                t_a, t_b = ft_time(chunk, built), ft_time(3 * chunk, built)
+            except Exception as e:  # noqa: BLE001 — backend OOM string match
+                if "RESOURCE_EXHAUSTED" not in repr(e):
+                    raise
+                last_err = e
+                bs //= 2
+                continue
+            per_step = (t_b - t_a) / (2 * chunk)
+            fixed = max(t_a - chunk * per_step, 0.0)  # inpaint+upload+dispatch
+            steps = cfg.finetune.steps * max(full_bs // bs, 1)
+            return fixed + per_step * steps, bs
+        raise last_err
 
     result = {
         "metric": "davis480p_e2e_pipeline_throughput",
@@ -155,7 +180,7 @@ def main():
         "vs_baseline_inference_only": round(fps / REFERENCE_FPS, 1),
     }
     try:
-        total_ft = measure_finetune()
+        total_ft, ft_bs = measure_finetune()
         ft_per_frame = total_ft / 70  # DAVIS-2017 val mean sequence length
         fps_incl = 1.0 / (1.0 / fps + ft_per_frame)
         result.update(
@@ -165,6 +190,8 @@ def main():
                 "finetune_s_per_video": round(total_ft, 1),
             }
         )
+        if ft_bs != cfg.finetune.batch_size:
+            result["finetune_batch_fallback"] = ft_bs
     except Exception as e:  # headline must survive a finetune-timing failure
         result["finetune_measurement_error"] = repr(e)[:200]
     print(json.dumps(result))

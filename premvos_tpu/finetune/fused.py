@@ -119,13 +119,45 @@ def make_fused_scan(batch_loss, tx, mesh, chunk: int, axis: str = "data"):
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded, static_argnames=())
+    # Donate the train state: params + Adam moments are pure carry, and
+    # without donation the compiled program double-buffers them (~0.5 GB at
+    # ResNet-101 scale — part of the round-4 480p OOM; docs/MEMORY_BUDGET
+    # .md). Callers must hand in a state they own (_fresh_state copies).
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def _fresh_state(params, tx, mesh) -> TrainState:
+    """Donation-safe replicated train state: copies the params so donating
+    the state can never invalidate the caller's base checkpoint (device_put
+    of an already-replicated tree is a no-op alias, not a copy)."""
+    params = jax.tree.map(jnp.copy, params)
+    return replicate_state(create_train_state(params, tx), mesh)
+
+
+def chunk_lengths(steps_list, chunk: int) -> set:
+    """Scan lengths _run_chunks will dispatch for these step counts: the
+    full chunk plus each nonzero remainder (so one build can serve a whole
+    steps-vs-J&F curve without per-candidate retracing)."""
+    need = set()
+    for s in steps_list:
+        s = int(s)
+        if s >= chunk:
+            need.add(chunk)
+        rem = s % chunk if s >= chunk else s
+        if rem:
+            need.add(rem)
+    return need or {chunk}
 
 
 def _run_chunks(run, state, consts, seed, steps, chunk, log_every=0,
                 label=""):
     """Drive full chunks + one remainder chunk (at most two compiled
     programs per net); returns (params, final loss)."""
+    if steps < 1:
+        raise ValueError(
+            f"fused fine-tune needs steps >= 1 (got {steps}); with 0 steps "
+            "there is no loss to report — use the initial params directly"
+        )
     base_key = jax.random.PRNGKey(seed)
     loss = jnp.float32(float("nan"))
     done = 0
@@ -155,25 +187,25 @@ def _single_box(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x1, y1, jnp.maximum(x2, x1 + 1), jnp.maximum(y2, y1 + 1)])
 
 
-def finetune_refine_fused(
+def build_refine_fused_runs(
     model,
-    params,
-    frame0,
-    lab0,
     mesh,
+    image_hw,
     refine_cfg: RefineConfig = RefineConfig(),
     ft_cfg: FinetuneConfig = FinetuneConfig(),
-    seed: int = 0,
     max_objects: int = 8,
-    log_every: int = 0,
-    background=None,
+    steps_list=None,
 ):
-    """Per-video refinement-net fine-tune, fully fused on device.
+    """Build the jitted fused augment+train scan programs for the refine
+    net at the given frame resolution, WITHOUT running them.
 
-    Mirrors finetune.finetune_refine's example semantics (RGB crop around a
-    jittered margin-expanded object box + perturbed-coarse-mask channel →
-    GT mask), with the lucid pool replaced by fresh per-step device draws.
-    Returns (new_params, final_loss).
+    Returns ({n_steps: jitted_run} for the chunk + remainder lengths, tx).
+    Split out from finetune_refine_fused so (a) callers that loop over videos can
+    cache the compiled runners keyed on (config, shapes) instead of
+    retracing per sequence, and (b) the memory-audit tier can lower+compile
+    the exact production program and assert its HBM footprint without
+    executing a single step (the round-4 480p OOM was only discoverable by
+    running).
     """
     from premvos_tpu.train.losses import sigmoid_xent
 
@@ -183,8 +215,7 @@ def finetune_refine_fused(
     prec = interp_precision(refine_cfg.interp_precision)
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
-    consts = _prep_consts(frame0, lab0, mesh, max_objects, background)
-    h, w = consts[0].shape[:2]
+    h, w = image_hw
     patch = min(ft_cfg.aug_patch, min(h, w))
 
     def one_example(k, frame255, masks0, valid0, bg255):
@@ -232,47 +263,75 @@ def finetune_refine_fused(
         return sigmoid_xent(logits, ys, mask=msk)
 
     tx = optax.adam(ft_cfg.learning_rate)
-    state = replicate_state(create_train_state(params, tx), mesh)
     chunk = max(int(ft_cfg.chunk), 1)
     runs = {
         n: make_fused_scan(batch_loss, tx, mesh, n)
-        for n in {chunk, ft_cfg.steps % chunk or chunk}
+        for n in chunk_lengths(steps_list or [ft_cfg.steps], chunk)
     }
-    return _run_chunks(runs, state, consts, seed, ft_cfg.steps, chunk,
-                       log_every, label="-refine")
+    return runs, tx
 
 
-def finetune_proposals_fused(
+def finetune_refine_fused(
     model,
     params,
-    proposal_cfg,
     frame0,
     lab0,
     mesh,
+    refine_cfg: RefineConfig = RefineConfig(),
     ft_cfg: FinetuneConfig = FinetuneConfig(),
     seed: int = 0,
     max_objects: int = 8,
     log_every: int = 0,
     background=None,
-    image_hw=None,
+    built=None,
 ):
-    """Per-video Mask R-CNN fine-tune, fully fused on device.
+    """Per-video refinement-net fine-tune, fully fused on device.
 
-    image_hw defaults to frame0's shape scaled by ft_cfg.proposal_scale
-    (rounded to the backbone's 32-px grid) — detection fine-tuning learns
-    appearance, not resolution, and conv cost drops ~scale². Anchors are
-    rebuilt for the fine-tune resolution. Returns (new_params, final_loss).
+    Mirrors finetune.finetune_refine's example semantics (RGB crop around a
+    jittered margin-expanded object box + perturbed-coarse-mask channel →
+    GT mask), with the lucid pool replaced by fresh per-step device draws.
+    `built` (from build_refine_fused_runs) reuses compiled runners across
+    videos. Returns (new_params, final_loss).
     """
+    consts = _prep_consts(frame0, lab0, mesh, max_objects, background)
+    h, w = consts[0].shape[:2]
+    if built is None:
+        built = build_refine_fused_runs(
+            model, mesh, (h, w), refine_cfg, ft_cfg, max_objects
+        )
+    runs, tx = built
+    state = _fresh_state(params, tx, mesh)
+    chunk = max(int(ft_cfg.chunk), 1)
+    return _run_chunks(runs, state, consts, seed, ft_cfg.steps, chunk,
+                       log_every, label="-refine")
+
+
+def proposal_finetune_hw(frame_hw, ft_cfg: FinetuneConfig):
+    """Default Mask R-CNN fine-tune resolution: the frame scaled by
+    ft_cfg.proposal_scale, rounded to the backbone's 32-px grid."""
+    fh, fw = frame_hw
+    sc = float(ft_cfg.proposal_scale)
+    return (
+        max(round(fh * sc / 32) * 32, 64),
+        max(round(fw * sc / 32) * 32, 64),
+    )
+
+
+def build_proposal_fused_runs(
+    model,
+    proposal_cfg,
+    mesh,
+    image_hw,
+    ft_cfg: FinetuneConfig = FinetuneConfig(),
+    max_objects: int = 8,
+    steps_list=None,
+):
+    """Build the jitted fused augment+train scans for the Mask R-CNN
+    fine-tune at image_hw (see build_refine_fused_runs for why this is
+    split out). Returns ({n_steps: jitted_run}, tx)."""
     from premvos_tpu.models.anchors import pyramid_anchors
     from premvos_tpu.train.detection import maskrcnn_loss_fn
 
-    fh, fw = np.asarray(frame0).shape[:2]
-    if image_hw is None:
-        sc = float(ft_cfg.proposal_scale)
-        image_hw = (
-            max(round(fh * sc / 32) * 32, 64),
-            max(round(fw * sc / 32) * 32, 64),
-        )
     h, w = image_hw
     anchors = {
         k: jnp.asarray(v)
@@ -286,8 +345,6 @@ def finetune_proposals_fused(
     bs = max(max(1, ft_cfg.batch_size // 2) // n_dev, 1)
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
-    consts = _prep_consts(frame0, lab0, mesh, max_objects, background,
-                          hw=(h, w))
     patch = min(ft_cfg.aug_patch, min(h, w))
 
     def batch_loss(p, key, consts):
@@ -308,12 +365,50 @@ def finetune_proposals_fused(
         return base_loss(p, (imgs_n, boxes, ms, valid, seeds))
 
     tx = optax.adam(ft_cfg.learning_rate)
-    state = replicate_state(create_train_state(params, tx), mesh)
     chunk = max(int(ft_cfg.chunk), 1)
     runs = {
         n: make_fused_scan(batch_loss, tx, mesh, n)
-        for n in {chunk, ft_cfg.steps % chunk or chunk}
+        for n in chunk_lengths(steps_list or [ft_cfg.steps], chunk)
     }
+    return runs, tx
+
+
+def finetune_proposals_fused(
+    model,
+    params,
+    proposal_cfg,
+    frame0,
+    lab0,
+    mesh,
+    ft_cfg: FinetuneConfig = FinetuneConfig(),
+    seed: int = 0,
+    max_objects: int = 8,
+    log_every: int = 0,
+    background=None,
+    image_hw=None,
+    built=None,
+):
+    """Per-video Mask R-CNN fine-tune, fully fused on device.
+
+    image_hw defaults to frame0's shape scaled by ft_cfg.proposal_scale
+    (rounded to the backbone's 32-px grid) — detection fine-tuning learns
+    appearance, not resolution, and conv cost drops ~scale². Anchors are
+    rebuilt for the fine-tune resolution. `built` (from
+    build_proposal_fused_runs) reuses compiled runners across videos.
+    Returns (new_params, final_loss).
+    """
+    if image_hw is None:
+        image_hw = proposal_finetune_hw(np.asarray(frame0).shape[:2], ft_cfg)
+    h, w = image_hw
+    if built is None:
+        built = build_proposal_fused_runs(
+            model, proposal_cfg, mesh, image_hw, ft_cfg, max_objects
+        )
+    runs, tx = built
+    consts = _prep_consts(frame0, lab0, mesh, max_objects, background,
+                          hw=(h, w))
+    state = _fresh_state(params, tx, mesh)
+    chunk = max(int(ft_cfg.chunk), 1)
     return _run_chunks(runs, state, consts, seed, ft_cfg.steps, chunk,
                        log_every, label="-prop")
 
@@ -328,6 +423,7 @@ def finetune_video(
     ft_cfg: FinetuneConfig | None = None,
     seed: int = 0,
     log_every: int = 0,
+    built: dict | None = None,
 ):
     """Method-dispatching per-video fine-tune for both nets.
 
@@ -338,7 +434,7 @@ def finetune_video(
     if ft.method == "fused":
         return finetune_video_fused(
             models, params, frame0, lab0, mesh, cfg, ft_cfg=ft, seed=seed,
-            log_every=log_every,
+            log_every=log_every, built=built,
         )
     from premvos_tpu.finetune.finetune import (
         build_lucid_pool, finetune_proposals, finetune_refine,
@@ -363,6 +459,30 @@ def finetune_video(
     )
 
 
+def build_fused_runner(models, cfg, mesh, ft_cfg: FinetuneConfig | None = None,
+                       image_hw=None, steps_list=None):
+    """Pre-build both nets' fused runners for a fixed frame resolution.
+
+    Every sequence in a dataset run shares the pipeline canvas
+    (cfg.pipeline.image_height/width), so one build serves all videos —
+    pass the result to finetune_video(..., built=...) to avoid retracing
+    and recompiling the fused scan per sequence (ADVICE r4)."""
+    ft = ft_cfg or cfg.finetune
+    if image_hw is None:
+        image_hw = (cfg.pipeline.image_height, cfg.pipeline.image_width)
+    refine_built = build_refine_fused_runs(
+        models.refine, mesh, image_hw, cfg.refine, ft,
+        cfg.pipeline.max_objects, steps_list=steps_list,
+    )
+    prop_hw = proposal_finetune_hw(image_hw, ft)
+    prop_built = build_proposal_fused_runs(
+        models.maskrcnn, cfg.proposal, mesh, prop_hw, ft,
+        cfg.pipeline.max_objects, steps_list=steps_list,
+    )
+    return {"refine": refine_built, "proposal": prop_built,
+            "proposal_hw": prop_hw, "image_hw": tuple(image_hw)}
+
+
 def finetune_video_fused(
     models,
     params,
@@ -373,9 +493,12 @@ def finetune_video_fused(
     ft_cfg: FinetuneConfig | None = None,
     seed: int = 0,
     log_every: int = 0,
+    built: dict | None = None,
 ):
     """Fine-tune both nets for one video (the full reference regime,
-    SURVEY §3.2); shares one host inpainting. Returns (params', losses)."""
+    SURVEY §3.2); shares one host inpainting. `built` (from
+    build_fused_runner) reuses compiled programs across videos.
+    Returns (params', losses)."""
     from premvos_tpu.data.lucid import inpaint_background
 
     ft = ft_cfg or cfg.finetune
@@ -386,11 +509,14 @@ def finetune_video_fused(
         models.refine, params["refine"], frame0, lab0, mesh, cfg.refine,
         ft, seed=seed, max_objects=cfg.pipeline.max_objects,
         log_every=log_every, background=bg,
+        built=built["refine"] if built else None,
     )
     new_prop, loss_p = finetune_proposals_fused(
         models.maskrcnn, params["maskrcnn"], cfg.proposal, frame0, lab0,
         mesh, ft, seed=seed, max_objects=cfg.pipeline.max_objects,
         log_every=log_every, background=bg,
+        image_hw=built["proposal_hw"] if built else None,
+        built=built["proposal"] if built else None,
     )
     return (
         dict(params, refine=new_refine, maskrcnn=new_prop),

@@ -36,9 +36,15 @@ p=0.8, background rot +-5 deg / shift +-5%, photometric contrast 0.8-1.2 /
 brightness +-20 / channel gain 0.9-1.1) is asserted statistically in
 tests/test_finetune_fused.py. Differences (documented, accuracy-neutral):
 elastic noise is generated at 1/8 resolution with a separable Gaussian blur
-(spectrally equivalent — see data/lucid.py:_elastic_maps), and objects whose
+(spectrally equivalent — see data/lucid.py:_elastic_maps); objects whose
 margin-expanded box exceeds the patch are warped at reduced patch resolution
-(scale-to-fit) instead of native.
+(scale-to-fit) instead of native; and out-of-frame border samples differ —
+the host oracle uses cv2.BORDER_REFLECT for the background warp and
+BORDER_CONSTANT(0) for foreground warps, while the device path edge-clamps
+(resample2d/resample2d_block pad mode). At the sampled ranges (bg shift
+≤5 %, rot ≤5°) the affected band is ≤ ~30 edge pixels of a 480p frame and
+carries near-duplicate content either way; foreground patches are centred
+on the object so their borders are background that the paste discards.
 """
 
 from __future__ import annotations
@@ -173,9 +179,9 @@ def lucid_frame(
     matching data/lucid.py's overwrite order).
     """
     h, w, _ = image255.shape
-    kk = jax.random.split(key, 3 + masks.shape[0])
+    kk = jax.random.split(key, 2 + masks.shape[0])
     k_bg, k_bgp = kk[0], kk[1]
-    obj_keys = kk[3:]
+    obj_keys = kk[2:]
 
     # ---- background: full-frame affine (rot <=5 deg, shift <=5%) ----
     ang, sc, tx, ty = sample_affine(k_bg, 5.0, 0.9, 1.1, 0.05 * w, 0.05 * h)
@@ -253,16 +259,34 @@ def lucid_frame(
         m_full = paste(m) * jnp.where(any_on, 1.0, 0.0)
         return rgb_full, m_full
 
-    rgbs, ms = jax.vmap(one_object)(obj_keys, masks)
-    ms = ms * valid[:, None, None].astype(ms.dtype)
-
-    # composite ascending (later objects overwrite earlier — host parity)
+    # Composite ascending (later objects overwrite earlier — host parity),
+    # INCREMENTALLY under lax.scan: warping all K objects first (vmap) then
+    # compositing materializes [K, H, W, 3] full-frame pastes per example —
+    # ~40 MB per example at 480p, ~320 MB across a batch-8 vmap, a major
+    # slice of the round-4 fused-finetune OOM (docs/MEMORY_BUDGET.md). The
+    # scan carries one (canvas, label) pair instead; per-object warp work is
+    # identical and the batch vmap supplies the parallelism.
     k_slots = masks.shape[0]
-    label = jnp.zeros((h, w), jnp.int32)
-    for i in range(k_slots):
-        sel = ms[i] > 0.5
-        canvas = jnp.where(sel[..., None], rgbs[i], canvas)
-        label = jnp.where(sel, i + 1, label)
+
+    def comp_body(carry, xs):
+        cv, label = carry
+        idx, k, mask, v = xs
+        rgb_full, m_full = one_object(k, mask)
+        sel = jnp.logical_and(m_full > 0.5, v)
+        cv = jnp.where(sel[..., None], rgb_full, cv)
+        label = jnp.where(sel, idx + 1, label)
+        return (cv, label), None
+
+    (canvas, label), _ = jax.lax.scan(
+        comp_body,
+        (canvas, jnp.zeros((h, w), jnp.int32)),
+        (
+            jnp.arange(k_slots, dtype=jnp.int32),
+            obj_keys,
+            masks,
+            valid.astype(bool),
+        ),
+    )
     out_masks = (
         label[None] == (jnp.arange(k_slots) + 1)[:, None, None]
     ).astype(jnp.float32)

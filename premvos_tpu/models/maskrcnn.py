@@ -41,23 +41,46 @@ def roi_levels(boxes: jnp.ndarray) -> jnp.ndarray:
 
 
 def multilevel_roi_align(
-    feats: dict, boxes: jnp.ndarray, output_size: int, sampling_ratio: int = 2
+    feats: dict, boxes: jnp.ndarray, output_size: int, sampling_ratio: int = 2,
+    roi_chunk: int | None = None,
 ) -> jnp.ndarray:
     """RoIAlign over P2..P5 for one image: compute on every level, select by
-    the FPN assignment (static shapes; 4× FLOPs but MXU-bound)."""
+    the FPN assignment (static shapes; 4× FLOPs but MXU-bound).
+
+    roi_chunk: process RoIs in lax.map chunks of this size. The matmul
+    formulation materializes a [N, p·s, W_level, C] intermediate per level;
+    at training shapes (N=256 rois, mask head p·s=28, P2 at 1/4 res) that is
+    ~0.8 GB per image per level and dominated the fused fine-tune program's
+    13.6 GB temp footprint (docs/MEMORY_BUDGET.md). Chunking caps the live
+    intermediate at roi_chunk/N of that with no change in results; leave
+    None on latency-critical inference paths (32 rois — already small)."""
     lvl = roi_levels(boxes)
-    out = None
-    for i, name in enumerate(ALIGN_LEVELS):
-        crop = roi_align(
-            feats[name],
-            boxes,
-            output_size,
-            sampling_ratio,
-            spatial_scale=1.0 / FPN_STRIDES[name],
-        )
-        w = (lvl == i + 2).astype(crop.dtype)[:, None, None, None]
-        out = crop * w if out is None else out + crop * w
-    return out
+
+    def _aligned(bxs, lv):
+        out = None
+        for i, name in enumerate(ALIGN_LEVELS):
+            crop = roi_align(
+                feats[name],
+                bxs,
+                output_size,
+                sampling_ratio,
+                spatial_scale=1.0 / FPN_STRIDES[name],
+            )
+            w = (lv == i + 2).astype(crop.dtype)[:, None, None, None]
+            out = crop * w if out is None else out + crop * w
+        return out
+
+    n = boxes.shape[0]
+    if not roi_chunk or n <= roi_chunk:
+        return _aligned(boxes, lvl)
+    pad = (-n) % roi_chunk
+    bp = jnp.concatenate([boxes, jnp.zeros((pad, 4), boxes.dtype)])
+    lp = jnp.concatenate([lvl, jnp.zeros((pad,), lvl.dtype)])
+    out = jax.lax.map(
+        lambda xs: _aligned(*xs),
+        (bp.reshape(-1, roi_chunk, 4), lp.reshape(-1, roi_chunk)),
+    )
+    return out.reshape(-1, *out.shape[2:])[:n]
 
 
 def multilevel_roi_align_auto(

@@ -14,7 +14,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+# Persistent XLA compile cache like every other entry point (bench.py,
+# scripts/*): without it each cold process pays the full multi-minute
+# compile of the fused pipeline + finetune programs (ADVICE r4).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/premvos_jax_cache")
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +94,14 @@ def main(argv=None):
 
     from premvos_tpu.data.prefetch import prefetch_sequences
 
+    # One fused-finetune build serves every sequence (all resized to the
+    # pipeline canvas): avoids per-video retrace+recompile (ADVICE r4).
+    ft_built = None
+    if args.finetune and cfg.finetune.method == "fused":
+        from premvos_tpu.finetune.fused import build_fused_runner
+
+        ft_built = build_fused_runner(models, cfg, mesh)
+
     results, total_frames, total_time = [], 0, 0.0
     for name, seq in prefetch_sequences(
         ds, seqs, p.image_height, p.image_width, p.max_objects, args.max_frames
@@ -106,7 +120,7 @@ def main(argv=None):
             # FinetuneConfig.method dispatch: fused on-device augmentation
             # + scanned train steps (default) or the host-pool oracle.
             seq_params, losses = finetune_video(
-                models, params, frame0, first_lab, mesh, cfg,
+                models, params, frame0, first_lab, mesh, cfg, built=ft_built,
             )
             log.info(
                 "finetuned %s in %.1fs (refine %.4f, proposal %.4f)",

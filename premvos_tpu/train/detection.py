@@ -223,6 +223,17 @@ def maskrcnn_loss_fn(model, anchors, cfg, image_hw, rng=None):
             rois, _, roi_valid = model.apply(
                 params, feats, anchors, image_hw, method=model.proposals
             )
+            # Detach proposal coordinates (standard Mask R-CNN recipe — the
+            # RPN trains only through its own loss; reference: tensorpack
+            # model_box decode under stop_gradient, SURVEY C1 *unverified*).
+            # Also the decisive memory fix for the fused fine-tune: with
+            # rois differentiable, the VJP of every RoIAlign interpolation
+            # einsum must SAVE its [N, p·s, W, C] intermediate as a residual
+            # to form d(align)/d(box-weights) — ~12 GB across the mask+box
+            # heads at batch 4, the round-4 480p RESOURCE_EXHAUSTED (docs/
+            # MEMORY_BUDGET.md). With boxes constant, grad w.r.t. features
+            # needs only the small interpolation-weight matrices.
+            rois = jax.lax.stop_gradient(rois)
             return feats, logits, deltas, rois, roi_valid
 
         feats, logits, deltas, rois, roi_valid = fwd(images)
@@ -250,11 +261,17 @@ def maskrcnn_loss_fn(model, anchors, cfg, image_hw, rng=None):
             )
             from premvos_tpu.models.maskrcnn import multilevel_roi_align
 
-            rf = multilevel_roi_align(f, roi, cfg.roi_align_size)
+            # roi_chunk caps the align's [N, p·s, W, C] intermediates: the
+            # training roi count (rpn_post_nms_topk=256) is 8× the inference
+            # padding, and unchunked the mask-head align alone holds ~GBs
+            # per image at 480p-finetune shapes (docs/MEMORY_BUDGET.md).
+            rf = multilevel_roi_align(f, roi, cfg.roi_align_size,
+                                      roi_chunk=64)
             cls_logits, box_deltas = model.apply(
                 params, rf, method=lambda m, x: m.box_head(x)
             )
-            mf = multilevel_roi_align(f, roi, cfg.mask_roi_align_size)
+            mf = multilevel_roi_align(f, roi, cfg.mask_roi_align_size,
+                                      roi_chunk=64)
             m_logits = model.apply(
                 params, mf, method=lambda m, x: m.mask_head(x)
             )

@@ -348,13 +348,18 @@ def train_all(args, cfg, ds_train, root, mesh):
 
 
 def finetune_pair(args, cfg, models, params, ds_val, mesh,
-                  precomputed_plain, weights=None):
+                  precomputed_plain, weights=None, ds_select=None):
     """Per-video fine-tune on each val sequence's frame 0 → J&F pair.
 
     --finetune-steps accepts several step counts: the resulting
     steps-vs-J&F curve locates the knee that justifies the production
     FinetuneConfig.steps (VERDICT r3 item 1b). --ft-method selects the
     fused on-device path (the shipped default) or the host-pool oracle.
+
+    Step-count SELECTION is done on ds_select (the tune split) when given
+    and more than one candidate is offered — reporting the max-over-
+    candidates val J&F would optimistically bias the headline (ADVICE r4).
+    The full val curve is still recorded for documentation.
     """
     from premvos_tpu.config import FinetuneConfig
     from premvos_tpu.eval.davis_eval import evaluate_dataset
@@ -368,76 +373,109 @@ def finetune_pair(args, cfg, models, params, ds_val, mesh,
     without_ft, _ = evaluate_weights(
         precomputed_plain, weights, args.warp_stride
     )
-    curve = []
-    for steps in args.finetune_steps:
-        ft_cfg = FinetuneConfig(
-            num_augmentations=max(steps, 64),
-            steps=steps, learning_rate=1e-4, batch_size=8,
-            method=args.ft_method,
+
+    built = None
+    if args.ft_method == "fused":
+        # one build serves every (video, step-count) pair — chunk_lengths
+        # covers all candidates' scan lengths (ADVICE r4: no per-call
+        # retrace/recompile)
+        from premvos_tpu.finetune.fused import build_fused_runner
+
+        built = build_fused_runner(
+            models, cfg, mesh,
+            ft_cfg=FinetuneConfig(
+                steps=max(args.finetune_steps), learning_rate=1e-4,
+                batch_size=8, method="fused",
+            ),
+            steps_list=args.finetune_steps,
         )
-        results = []
-        total_t = 0.0
-        for seq in ds_val.sequences:
-            data = ds_val.load_sequence(
-                seq, p.image_height, p.image_width, p.max_objects
-            )
-            frame0 = np.asarray(data["frames"][0])
-            lab0 = np.asarray(data["gt_labels"][0])
-            t0 = time.perf_counter()
-            if args.ft_method == "fused":
-                from premvos_tpu.finetune.fused import finetune_video_fused
 
-                seq_params, losses = finetune_video_fused(
-                    models, params, frame0, lab0, mesh, cfg,
-                    ft_cfg=ft_cfg, seed=args.seed,
-                )
-                loss_r, loss_p = losses["refine"], losses["proposal"]
-            else:
-                from premvos_tpu.finetune.finetune import (
-                    build_lucid_pool, finetune_proposals, finetune_refine,
-                )
-                from premvos_tpu.pipeline.runner import get_anchors
+    def finetune_one(ds, seq, ft_cfg):
+        data = ds.load_sequence(
+            seq, p.image_height, p.image_width, p.max_objects
+        )
+        frame0 = np.asarray(data["frames"][0])
+        lab0 = np.asarray(data["gt_labels"][0])
+        t0 = time.perf_counter()
+        if args.ft_method == "fused":
+            from premvos_tpu.finetune.fused import finetune_video_fused
 
-                anchors = get_anchors(cfg)
-                pool = build_lucid_pool(frame0, lab0, ft_cfg, seed=args.seed)
-                new_refine, loss_r = finetune_refine(
-                    models.refine, params["refine"], frame0, lab0, mesh,
-                    cfg.refine, ft_cfg, seed=args.seed, pool=pool,
-                )
-                new_prop, loss_p = finetune_proposals(
-                    models.maskrcnn, params["maskrcnn"], anchors,
-                    cfg.proposal, frame0, lab0, mesh, ft_cfg,
-                    seed=args.seed, max_objects=p.max_objects, pool=pool,
-                )
-                seq_params = dict(
-                    params, refine=new_refine, maskrcnn=new_prop
-                )
-            dt = time.perf_counter() - t0
-            total_t += dt
-            print(f"[finetune/{steps}] {seq}: refine {loss_r:.4f} "
-                  f"prop {loss_p:.4f} ({dt:.0f}s)", flush=True)
-            pre = precompute_split(
-                models, seq_params, cfg, ds_val, [seq], verbose=False
+            seq_params, losses = finetune_video_fused(
+                models, params, frame0, lab0, mesh, cfg,
+                ft_cfg=ft_cfg, seed=args.seed, built=built,
             )
-            _, res = evaluate_weights(pre, weights, args.warp_stride)
-            results.extend(res)
-        with_ft = evaluate_dataset(results)["J&F"]
-        curve.append({
-            "steps": steps,
-            "J&F": round(float(with_ft), 4),
-            "seconds_per_video": round(total_t / len(ds_val.sequences), 1),
-        })
-        print(f"[finetune] steps={steps}: J&F {with_ft:.4f} "
-              f"(no-finetune {without_ft:.4f})", flush=True)
-    best = max(curve, key=lambda r: r["J&F"])
-    return {
+            loss_r, loss_p = losses["refine"], losses["proposal"]
+        else:
+            from premvos_tpu.finetune.finetune import (
+                build_lucid_pool, finetune_proposals, finetune_refine,
+            )
+            from premvos_tpu.pipeline.runner import get_anchors
+
+            anchors = get_anchors(cfg)
+            pool = build_lucid_pool(frame0, lab0, ft_cfg, seed=args.seed)
+            new_refine, loss_r = finetune_refine(
+                models.refine, params["refine"], frame0, lab0, mesh,
+                cfg.refine, ft_cfg, seed=args.seed, pool=pool,
+            )
+            new_prop, loss_p = finetune_proposals(
+                models.maskrcnn, params["maskrcnn"], anchors,
+                cfg.proposal, frame0, lab0, mesh, ft_cfg,
+                seed=args.seed, max_objects=p.max_objects, pool=pool,
+            )
+            seq_params = dict(
+                params, refine=new_refine, maskrcnn=new_prop
+            )
+        dt = time.perf_counter() - t0
+        print(f"[finetune/{ft_cfg.steps}] {seq}: refine {loss_r:.4f} "
+              f"prop {loss_p:.4f} ({dt:.0f}s)", flush=True)
+        pre = precompute_split(
+            models, seq_params, cfg, ds, [seq], verbose=False
+        )
+        _, res = evaluate_weights(pre, weights, args.warp_stride)
+        return res, dt
+
+    def curve_for(ds, label):
+        curve = []
+        for steps in args.finetune_steps:
+            ft_cfg = FinetuneConfig(
+                num_augmentations=max(steps, 64),
+                steps=steps, learning_rate=1e-4, batch_size=8,
+                method=args.ft_method,
+            )
+            results, total_t = [], 0.0
+            for seq in ds.sequences:
+                res, dt = finetune_one(ds, seq, ft_cfg)
+                results.extend(res)
+                total_t += dt
+            with_ft = evaluate_dataset(results)["J&F"]
+            curve.append({
+                "steps": steps,
+                "J&F": round(float(with_ft), 4),
+                "seconds_per_video": round(total_t / len(ds.sequences), 1),
+            })
+            print(f"[finetune/{label}] steps={steps}: J&F {with_ft:.4f} "
+                  f"(no-finetune {without_ft:.4f})", flush=True)
+        return curve
+
+    report = {
         "without_finetune_JF": round(float(without_ft), 4),
-        "with_finetune_JF": best["J&F"],
-        "finetune_steps": best["steps"],
         "method": args.ft_method,
         "proposal_scale": cfg.finetune.proposal_scale,
-        "curve": curve,
     }
+    curve = curve_for(ds_val, "val")
+    report["curve"] = curve
+    if len(args.finetune_steps) > 1 and ds_select is not None:
+        select_curve = curve_for(ds_select, "tune")
+        report["select_curve"] = select_curve
+        sel = max(select_curve, key=lambda r: r["J&F"])["steps"]
+        report["selected_on"] = "tune"
+    else:
+        sel = args.finetune_steps[0]
+        report["selected_on"] = "preregistered"
+    row = next(r for r in curve if r["steps"] == sel)
+    report["with_finetune_JF"] = row["J&F"]
+    report["finetune_steps"] = sel
+    return report
 
 
 def main(argv=None):
@@ -775,7 +813,7 @@ def main(argv=None):
     if args.finetune:
         report["finetune"] = finetune_pair(
             args, cfg, models, params, ds_val, mesh, precomputed,
-            weights=tuned_w,
+            weights=tuned_w, ds_select=tune_sets[0],
         )
         print(f"[bench] finetune pair: {report['finetune']}", flush=True)
 
