@@ -23,6 +23,18 @@ from premvos_tpu.finetune.lucid_device import (
 )
 
 
+def test_chunk_lengths_covers_curve_without_retrace():
+    # One build must serve a whole steps-vs-J&F curve: full chunk + every
+    # nonzero remainder, nothing else (ADVICE r4: no per-candidate retrace).
+    from premvos_tpu.finetune.fused import chunk_lengths
+
+    assert chunk_lengths([500], 25) == {25}
+    assert chunk_lengths([50, 150, 300, 500], 25) == {25}
+    assert chunk_lengths([60, 150], 25) == {25, 10}
+    assert chunk_lengths([10], 25) == {10}  # sub-chunk run
+    assert chunk_lengths([], 25) == {25}  # degenerate: the chunk itself
+
+
 def _fixture(h=96, w=160, k_slots=4):
     r = np.random.default_rng(7)
     img = r.integers(0, 255, (h, w, 3)).astype(np.float32)

@@ -70,6 +70,30 @@ def test_multilevel_roi_align_selects_by_level(rng):
     assert float(jnp.abs(out_big).sum()) == 0
 
 
+def test_multilevel_roi_align_chunked_matches_unchunked(rng):
+    # roi_chunk is a pure memory knob (caps the live [N, p·s, W, C] align
+    # intermediates in the fine-tune loss — docs/MEMORY_BUDGET.md); results
+    # must be bit-identical, including the non-divisible tail.
+    feats = {
+        f"P{i}": jnp.array(
+            rng.standard_normal((64 >> (i - 2), 64 >> (i - 2), 8)),
+            jnp.float32,
+        )
+        for i in range(2, 6)
+    }
+    n = 21  # not a multiple of the chunk → exercises padding + tail
+    sizes = rng.uniform(8.0, 400.0, (n,))
+    x1 = rng.uniform(0.0, 50.0, (n,))
+    y1 = rng.uniform(0.0, 50.0, (n,))
+    boxes = jnp.asarray(
+        np.stack([x1, y1, x1 + sizes, y1 + sizes], -1), jnp.float32
+    )
+    want = multilevel_roi_align(feats, boxes, 7)
+    got = multilevel_roi_align(feats, boxes, 7, roi_chunk=8)
+    # atol 1e-5: lax.map regroups the align einsums (fp reassociation)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_maskrcnn_forward_shapes(model_and_params):
     model, params, anchors = model_and_params
     img = jnp.array(np.random.default_rng(0).standard_normal((1, 128, 128, 3)), jnp.float32)
