@@ -30,6 +30,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Peak matmul throughput of one TPU v5e (v5 lite) chip, bf16. MFU here is
+# the judge's convention: model FLOPs per frame (XLA cost_analysis of the
+# exact compiled program) / measured marginal seconds / chip peak.
+PEAK_FLOPS = 197e12
+
+
+def program_flops(fn, *args):
+    """FLOPs of one execution of jit(fn)(*args) per XLA's cost model.
+
+    Returns None when the backend doesn't expose cost_analysis (e.g. some
+    relay configurations) — callers then omit the MFU column rather than
+    publishing a made-up number."""
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        if not ca:
+            return None
+        f = ca.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+
+
 def timed_med(fn, make_args, runs=7):
     """Median wall time of fn, fresh args each run, forced host transfer.
 
@@ -54,28 +78,37 @@ def timed_med(fn, make_args, runs=7):
 
 
 def marginal(fn, make_args_b, b1, b2, runs=5):
-    """Per-unit marginal time via the two-size slope."""
+    """Per-unit marginal time via the two-size slope, plus per-unit FLOPs
+    via the same slope on XLA's cost model (cancels fixed-cost ops the same
+    way the time slope cancels dispatch overhead)."""
     t1 = timed_med(fn, lambda s: make_args_b(s, b1), runs)
     t2 = timed_med(fn, lambda s: make_args_b(s, b2), runs)
-    return (t2 - t1) / (b2 - b1), t1, t2
+    f1 = program_flops(fn, *make_args_b(0, b1))
+    f2 = program_flops(fn, *make_args_b(0, b2))
+    fl = (f2 - f1) / (b2 - b1) if f1 and f2 else None
+    return (t2 - t1) / (b2 - b1), t1, t2, fl
 
 
-def emit(name, unit_seconds, unit, t1, b1, t2, b2):
-    print(
-        json.dumps(
-            {
-                "metric": name,
-                "value": round(1.0 / unit_seconds, 3) if unit_seconds > 0 else None,
-                "unit": unit,
-                "marginal_ms": round(unit_seconds * 1000, 3),
-                "batch_times_ms": {
-                    str(b1): round(t1 * 1000, 1),
-                    str(b2): round(t2 * 1000, 1),
-                },
-            }
-        ),
-        flush=True,
-    )
+def emit(name, unit_seconds, unit, t1, b1, t2, b2, unit_flops=None,
+         per_frame_units=1):
+    rec = {
+        "metric": name,
+        "value": round(1.0 / unit_seconds, 3) if unit_seconds > 0 else None,
+        "unit": unit,
+        "marginal_ms": round(unit_seconds * 1000, 3),
+        "batch_times_ms": {
+            str(b1): round(t1 * 1000, 1),
+            str(b2): round(t2 * 1000, 1),
+        },
+    }
+    if unit_flops and unit_seconds > 0:
+        rec["gflops_per_frame"] = round(
+            unit_flops * per_frame_units / 1e9, 1
+        )
+        rec["mfu_pct"] = round(
+            100.0 * unit_flops / unit_seconds / PEAK_FLOPS, 2
+        )
+    print(json.dumps(rec), flush=True)
     return unit_seconds
 
 
@@ -116,22 +149,26 @@ def main(argv=None):
 
     # 1. proposals — marginal per frame (batch 4 vs 8, the scan_chunk regime)
     f1 = jax.jit(lambda pr, x: models.maskrcnn.apply(pr, x, anchors))
-    m, t1, t2 = marginal(
+    m, t1, t2, fl = marginal(
         f1, lambda s, b: (params["maskrcnn"], fresh(s, (b, h, w, 3))), 4, 8
     )
     budget["proposals"] = emit(
-        "maskrcnn_proposals_480p", m, "frames/sec (marginal)", t1, 4, t2, 8
+        "maskrcnn_proposals_480p", m, "frames/sec (marginal)", t1, 4, t2, 8,
+        unit_flops=fl,
     )
+    mfu = {"proposals": (m, fl)}
 
     # 2. refinement — marginal per crop (one frame = max_proposals crops)
     s_ = cfg.refine.crop_size
     f2 = jax.jit(lambda pr, x: models.refine.apply(pr, x))
-    m, t1, t2 = marginal(
+    m, t1, t2, fl = marginal(
         f2, lambda s, b: (params["refine"], fresh(s, (b, s_, s_, 4))), n, 2 * n
     )
     budget["refine"] = emit(
-        "deeplab_refine_crops", m, "crops/sec (marginal)", t1, n, t2, 2 * n
+        "deeplab_refine_crops", m, "crops/sec (marginal)", t1, n, t2, 2 * n,
+        unit_flops=fl, per_frame_units=n,
     ) * n  # per frame
+    mfu["refine"] = (m, fl)
 
     # 3a. flow net + upsample — marginal per pair (production structure:
     # the net runs batched over the chunk; the mask warp happens per frame
@@ -146,7 +183,7 @@ def main(argv=None):
         )(fl)
 
     f3 = jax.jit(flow_net)
-    m, t1, t2 = marginal(
+    m, t1, t2, fl = marginal(
         f3,
         lambda s, b: (
             params["flow"],
@@ -156,8 +193,10 @@ def main(argv=None):
         4, 8,
     )
     budget["flow"] = emit(
-        "flownet2_pair_plus_upsample", m, "pairs/sec (marginal)", t1, 4, t2, 8
+        "flownet2_pair_plus_upsample", m, "pairs/sec (marginal)", t1, 4, t2, 8,
+        unit_flops=fl,
     )
+    mfu["flow"] = (m, fl)
 
     # 3b. merge-scan mask warp — per frame, unbatched inside a scan exactly
     # like merge_frame, at the production warp_stride.
@@ -174,7 +213,7 @@ def main(argv=None):
         return out
 
     f3b = jax.jit(warp_scan)
-    m, t1, t2 = marginal(
+    m, t1, t2, fl = marginal(
         f3b,
         lambda s, b: (
             (fresh(s + 200, (p.max_objects, h, w)) > 0).astype(jnp.float32),
@@ -183,8 +222,10 @@ def main(argv=None):
         4, 8,
     )
     budget["merge_warp"] = emit(
-        f"merge_mask_warp_stride{ws}", m, "frames/sec (marginal)", t1, 4, t2, 8
+        f"merge_mask_warp_stride{ws}", m, "frames/sec (marginal)", t1, 4, t2,
+        8, unit_flops=fl,
     )
+    mfu["merge_warp"] = (m, fl)
 
     # 4. reid — marginal per crop
     cs = cfg.reid.crop_size
@@ -194,7 +235,7 @@ def main(argv=None):
         return pairwise_sq_distances(ref, emb)
 
     f4 = jax.jit(reid_and_dist)
-    m, t1, t2 = marginal(
+    m, t1, t2, fl = marginal(
         f4,
         lambda s, b: (
             params["reid"],
@@ -205,8 +246,9 @@ def main(argv=None):
     )
     budget["reid"] = emit(
         "reid_embeddings_plus_distances", m, "crops/sec (marginal)",
-        t1, n, t2, 2 * n,
+        t1, n, t2, 2 * n, unit_flops=fl, per_frame_units=n,
     ) * n  # per frame
+    mfu["reid"] = (m, fl)
 
     # 5. full pipeline — marginal per frame via two sequence lengths
     gt = np.zeros((p.max_objects, h, w), np.float32)
@@ -225,8 +267,10 @@ def main(argv=None):
             ),
         )
 
-    m, t1, t2 = marginal(full, mk, 17, 33)
-    emit("full_pipeline_e2e", m, "frames/sec (marginal)", t1, 17, t2, 33)
+    m, t1, t2, fl = marginal(full, mk, 17, 33)
+    emit("full_pipeline_e2e", m, "frames/sec (marginal)", t1, 17, t2, 33,
+         unit_flops=fl)
+    mfu["e2e"] = (m, fl)
 
     stage_sum = sum(budget.values())
     print(
@@ -241,6 +285,12 @@ def main(argv=None):
                 "residual_ms_per_frame_merge_plus_sched": round(
                     (m - stage_sum) * 1000, 2
                 ),
+                # MFU per stage: XLA-cost-model FLOPs per unit / marginal
+                # seconds / chip peak (197 TFLOP/s bf16, TPU v5e).
+                "mfu_pct": {
+                    k: round(100.0 * f / t / PEAK_FLOPS, 2)
+                    for k, (t, f) in mfu.items() if f and t > 0
+                },
             }
         ),
         flush=True,
@@ -248,13 +298,14 @@ def main(argv=None):
 
     # 6. per-video fine-tuning, amortized — the baseline's 38 s/frame
     # INCLUDES this (BASELINE.md), so the honest comparison pair is
-    # (inference-only fps, fps incl. amortized fine-tune).
+    # (inference-only fps, fps incl. amortized fine-tune). Measures the
+    # SHIPPED FinetuneConfig.method — the fused on-device scan by default
+    # (zero host augmentation; the round-3 table measured the host-pool
+    # oracle instead, whose aug pool alone cost hundreds of seconds).
     import dataclasses
 
-    from premvos_tpu.finetune.finetune import (
-        build_lucid_pool,
-        finetune_proposals,
-        finetune_refine,
+    from premvos_tpu.finetune.fused import (
+        build_fused_runner, finetune_video_fused,
     )
     from premvos_tpu.parallel.mesh import make_mesh
 
@@ -265,37 +316,21 @@ def main(argv=None):
     lab0[100:200, 150:300] = 1
     lab0[250:350, 500:650] = 2
 
-    # Host augmentation cost: per-aug marginal scaled to the production
-    # pool size (ONE pool shared by both nets — see build_lucid_pool).
-    def pool_time(n):
-        ft = dataclasses.replace(cfg.finetune, num_augmentations=n, steps=2)
-        t0 = time.perf_counter()
-        pool = build_lucid_pool(frame0, lab0, ft)
-        return time.perf_counter() - t0, pool
-
-    t2p, _ = pool_time(2)
-    t10p, pool = pool_time(10)
-    per_aug = max((t10p - t2p) / 8, 0.0)
-    prod_pool_n = min(
-        cfg.finetune.num_augmentations, max(cfg.finetune.steps, 64)
-    )
-    pool_cost = per_aug * prod_pool_n
+    chunk = cfg.finetune.chunk
+    built = build_fused_runner(models, cfg, mesh)
 
     def ft_time(steps):
         ft = dataclasses.replace(cfg.finetune, steps=steps)
         t0 = time.perf_counter()
-        finetune_refine(models.refine, params["refine"], frame0, lab0, mesh,
-                        cfg.refine, ft, pool=pool)
-        finetune_proposals(models.maskrcnn, params["maskrcnn"], anchors,
-                           cfg.proposal, frame0, lab0, mesh, ft,
-                           max_objects=p.max_objects, pool=pool)
+        finetune_video_fused(models, params, frame0, lab0, mesh, cfg,
+                             ft_cfg=ft, seed=steps, built=built)
         return time.perf_counter() - t0
 
-    ft_time(2)  # compile
-    t_a, t_b = ft_time(4), ft_time(12)
-    per_step = (t_b - t_a) / 8
-    fixed = max(t_a - 4 * per_step, 0.0)  # prep + upload + dispatch
-    total_ft = pool_cost + fixed + per_step * 2 * cfg.finetune.steps
+    ft_time(chunk)  # compile both nets' chunk programs
+    t_a, t_b = ft_time(chunk), ft_time(3 * chunk)
+    per_step = (t_b - t_a) / (2 * chunk)  # one step = refine + proposal
+    fixed = max(t_a - chunk * per_step, 0.0)  # inpaint + upload + dispatch
+    total_ft = fixed + per_step * cfg.finetune.steps
     frames_per_video = 70  # DAVIS-2017 val mean sequence length ≈ 70
     ft_per_frame = total_ft / frames_per_video
     fps_incl = 1.0 / (m + ft_per_frame)
@@ -303,8 +338,8 @@ def main(argv=None):
         json.dumps(
             {
                 "metric": "finetune_amortized",
+                "method": cfg.finetune.method,
                 "per_step_s": round(per_step, 4),
-                "aug_pool_s_shared": round(pool_cost, 2),
                 "fixed_s_prep_dispatch": round(fixed, 2),
                 "total_finetune_s_per_video": round(total_ft, 1),
                 "amortized_s_per_frame": round(ft_per_frame, 3),

@@ -59,7 +59,8 @@ import numpy as np
 from train_synthetic_demo import demo_config, make_shift_pairs  # noqa: F401
 
 
-def bench_config(score_threshold=0.01, max_proposals=16, canvas=None):
+def bench_config(score_threshold=0.01, max_proposals=16, canvas=None,
+                 depth=None):
     """demo_config() nets on the benchmark canvas; exact (stride-1) warp.
 
     score_threshold / max_proposals set the detector's inference-side
@@ -73,8 +74,20 @@ def bench_config(score_threshold=0.01, max_proposals=16, canvas=None):
     canvas = (H, W) renders the same procedural world at higher resolution
     (see synthetic_vos.build_sequence_spec size_scale); H/W must be
     32-multiples and keep the 64:96 aspect.
+    depth = proposal/refine backbone depth (e.g. 50 for the production-
+    scale ResNet-50 bottleneck stacks; VERDICT r4 item 5 — score the
+    system class that bench.py times, not just the depth-26 demo).
     """
     cfg = demo_config()
+    if depth is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            proposal=dataclasses.replace(
+                cfg.proposal, backbone_depth=depth,
+                fpn_channels=max(cfg.proposal.fpn_channels, 64),
+            ),
+            refine=dataclasses.replace(cfg.refine, backbone_depth=depth),
+        )
     if canvas is not None:
         ch, cw = canvas
         if ch % 32 or cw % 32 or abs(ch / 64 - cw / 96) > 1e-6:
@@ -475,6 +488,35 @@ def finetune_pair(args, cfg, models, params, ds_val, mesh,
     row = next(r for r in curve if r["steps"] == sel)
     report["with_finetune_JF"] = row["J&F"]
     report["finetune_steps"] = sel
+
+    # proposal_scale ablation (VERDICT r4 item 3): the fused proposal
+    # fine-tune runs at proposal_scale× resolution (conv cost ~scale²);
+    # one val row at native scale quantifies what the 0.5 default costs.
+    if args.ft_method == "fused" and cfg.finetune.proposal_scale != 1.0:
+        from premvos_tpu.finetune.fused import build_fused_runner as _bfr
+
+        ft_native = FinetuneConfig(
+            steps=sel, learning_rate=1e-4, batch_size=8, method="fused",
+            proposal_scale=1.0,
+        )
+        built_native = _bfr(models, cfg, mesh, ft_cfg=ft_native,
+                            steps_list=[sel])
+        saved = built
+        built = built_native
+        try:
+            results = []
+            for seq in ds_val.sequences:
+                res, _ = finetune_one(ds_val, seq, ft_native)
+                results.extend(res)
+            report["proposal_scale_1_JF"] = round(
+                float(evaluate_dataset(results)["J&F"]), 4
+            )
+            print(f"[finetune] proposal_scale=1.0 @ steps={sel}: "
+                  f"J&F {report['proposal_scale_1_JF']:.4f} (vs "
+                  f"{report['with_finetune_JF']:.4f} at scale "
+                  f"{cfg.finetune.proposal_scale})", flush=True)
+        finally:
+            built = saved
     return report
 
 
@@ -537,6 +579,10 @@ def main(argv=None):
                     metavar=("H", "W"),
                     help="render the same procedural world at H x W "
                          "(32-multiples, 64:96 aspect, e.g. 128 192)")
+    ap.add_argument("--depth", type=int, default=None,
+                    help="proposal/refine backbone depth (e.g. 50): score "
+                         "the production system class, not just the "
+                         "depth-26 demo nets")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -564,7 +610,8 @@ def main(argv=None):
     from premvos_tpu.parallel.mesh import make_mesh
 
     cfg = bench_config(args.score_threshold, args.max_proposals,
-                   tuple(args.canvas) if args.canvas else None)
+                   tuple(args.canvas) if args.canvas else None,
+                   depth=args.depth)
     p = cfg.pipeline
 
     root = args.data_root or tempfile.mkdtemp(prefix="synthetic_vos_")
@@ -807,8 +854,11 @@ def main(argv=None):
         # the gate requires EVERY independent draw to clear the threshold
         "passed": bool(held_out["J&F_min_draw"] >= args.threshold),
         "platform": jax.default_backend(),
-        "config": "demo_config() — depth-26 GroupNorm nets, "
-                  f"{p.image_height}×{p.image_width} canvas",
+        "config": (
+            f"bench_config(depth={cfg.proposal.backbone_depth}) — "
+            f"depth-{cfg.proposal.backbone_depth} GroupNorm nets, "
+            f"{p.image_height}×{p.image_width} canvas"
+        ),
     }
     if args.finetune:
         report["finetune"] = finetune_pair(
