@@ -152,18 +152,35 @@ def ablation_weights(base: np.ndarray, overrides: dict) -> np.ndarray:
     return w
 
 
-def tune_weights(pre_tune, args, rng=None):
+def tune_weights(pre_tune, args, rng=None, groups=None):
     """Random search + local refinement on the tune split.
 
     Mirrors the reference's hand-tuned merge constants (SURVEY C5): the
-    weight vector is data-tuned on sequences DISJOINT from val. Returns
+    weight vector is data-tuned on sequences DISJOINT from val. With
+    `groups` (per-generator-seed precompute lists) and
+    --tune-objective=min, a trial's score is the MINIMUM per-seed tune
+    J&F — the honest proxy for the gate, which requires EVERY held-out
+    draw to pass: a mean objective happily trades a great seed for a
+    failing one (measured round 5: pooled-mean tuning gave draws
+    0.696/0.545/0.559 — mean on the gate, min far below). Returns
     (best_weights, best_tune_JF, trial_log)."""
     from premvos_tpu.eval.harness import DEFAULT_WEIGHTS, evaluate_weights
     from tune_merge import sample_weights
 
     rng = rng or np.random.default_rng(args.seed)
+
+    if groups and len(groups) > 1 and args.tune_objective == "min":
+        def score(w):
+            return min(
+                float(evaluate_weights(g, w, args.warp_stride)[0])
+                for g in groups
+            )
+    else:
+        def score(w):
+            return float(evaluate_weights(pre_tune, w, args.warp_stride)[0])
+
     best_w = np.asarray(DEFAULT_WEIGHTS, np.float32)
-    best_t, _ = evaluate_weights(pre_tune, best_w, args.warp_stride)
+    best_t = score(best_w)
     log = [{"w": [float(x) for x in best_w], "tune_JF": round(float(best_t), 4),
             "kind": "baseline"}]
     print(f"[tune] baseline (reference defaults) J&F = {best_t:.4f}",
@@ -181,7 +198,7 @@ def tune_weights(pre_tune, args, rng=None):
     ]
     for w in seeds:
         w = np.asarray(w, np.float32)
-        t, _ = evaluate_weights(pre_tune, w, args.warp_stride)
+        t = score(w)
         log.append({"w": [float(x) for x in w],
                     "tune_JF": round(float(t), 4), "kind": "seed"})
         if t > best_t:
@@ -190,7 +207,7 @@ def tune_weights(pre_tune, args, rng=None):
                   flush=True)
     for i in range(args.tune_trials):
         w = sample_weights(rng)
-        t, _ = evaluate_weights(pre_tune, w, args.warp_stride)
+        t = score(w)
         log.append({"w": [float(x) for x in w],
                     "tune_JF": round(float(t), 4), "kind": "random"})
         if t > best_t:
@@ -208,7 +225,7 @@ def tune_weights(pre_tune, args, rng=None):
             w[8] = float(np.clip(best_w[8] + rng.normal(0, 0.08), 0.3, 0.99))
         else:
             w[8] = 2.0 if rng.random() < 0.5 else float(rng.uniform(0.5, 0.95))
-        t, _ = evaluate_weights(pre_tune, w, args.warp_stride)
+        t = score(w)
         log.append({"w": [float(x) for x in w],
                     "tune_JF": round(float(t), 4), "kind": "local"})
         if t > best_t:
@@ -544,6 +561,11 @@ def main(argv=None):
                          "the host-pool oracle path")
     ap.add_argument("--threshold", type=float, default=0.6)
     ap.add_argument("--warp-stride", type=int, default=1)
+    ap.add_argument("--tune-objective", default="min",
+                    choices=["min", "mean"],
+                    help="multi-seed trial score: min per-seed tune J&F "
+                         "(matches the every-draw gate) or the pooled mean "
+                         "(overfits strong seeds — see tune_weights)")
     ap.add_argument("--tune-trials", type=int, default=192,
                     help="random-search trials on the tune split")
     ap.add_argument("--tune-local", type=int, default=96,
@@ -674,10 +696,13 @@ def main(argv=None):
 
     print(f"[bench] precomputing tune sequences (seeds {tune_seeds}) ...",
           flush=True)
-    pre_tune = []
-    for ds_t in tune_sets:
-        pre_tune.extend(precompute_split(models, params, cfg, ds_t))
-    tuned_w, tune_jf, trial_log = tune_weights(pre_tune, args)
+    pre_tune_groups = [
+        precompute_split(models, params, cfg, ds_t) for ds_t in tune_sets
+    ]
+    pre_tune = [p_ for g in pre_tune_groups for p_ in g]
+    tuned_w, tune_jf, trial_log = tune_weights(
+        pre_tune, args, groups=pre_tune_groups
+    )
     if args.tuned_out:
         from premvos_tpu.eval.harness import WEIGHT_NAMES
 
@@ -690,10 +715,11 @@ def main(argv=None):
                     ),
                     "tune_JF": round(tune_jf, 4),
                     "baseline_tune_JF": trial_log[0]["tune_JF"],
-                    "protocol": "random+local search on the POOLED tune "
-                                "splits of generator seeds "
-                                f"{tune_seeds} (disjoint from train and "
-                                "every val draw)",
+                    "protocol": "random+local search on the tune splits "
+                                f"of generator seeds {tune_seeds} "
+                                "(disjoint from train and every val "
+                                f"draw); objective={args.tune_objective} "
+                                "per-seed tune J&F",
                     "tune_seeds": tune_seeds,
                     "trials": trial_log,
                 },
