@@ -195,8 +195,15 @@ class FinetuneConfig:
     batch_size: int = 8
     method: str = "fused"  # "fused" | "pool"
     # Steps per fused dispatch (lax.scan length). Amortizes dispatch
-    # overhead; two compiled programs max per net (chunk + remainder).
-    chunk: int = 25
+    # overhead (~45 ms/dispatch measured round 5); two compiled programs
+    # max per net (chunk + remainder). Capped at 16: this platform's TPU
+    # worker dies ("TPU worker process crashed or restarted") when a
+    # single execution runs for roughly a minute — chunk-25 480p scans
+    # (~3 min pre-optimization) killed it deterministically, costing
+    # ~30-50 min of relay recovery each time (round-5 bisect,
+    # docs/MEMORY_BUDGET.md §dispatch). 16 keeps post-optimization 480p
+    # dispatches ~8 s with margin while dispatch overhead stays <1 %.
+    chunk: int = 16
     # Object-local augmentation patch size (finetune/lucid_device.py):
     # rotation/scale/elastic warps act on PxP patches, not full frames.
     aug_patch: int = 256

@@ -55,7 +55,7 @@ import jax
 import jax.numpy as jnp
 
 from premvos_tpu.ops.masks import paste_mask
-from premvos_tpu.ops.resample2d import resample2d, resample2d_block
+from premvos_tpu.ops.resample2d import resample2d_block
 from premvos_tpu.ops.roi_align import crop_and_resize
 
 
@@ -237,13 +237,25 @@ def lucid_frame(
         # pixels, so rescale the field into patch units
         elastic = elastic * (patch / (2.0 * src_half))
         flow = _rot_scale_flow(patch, ang, sc, elastic)
-        # The PxP patch warp stays a gather: its flow (rot 15° + elastic)
-        # has per-pixel gradients up to ~1 px/px, which no residual-window
-        # block shape covers without a huge window — and the measured
-        # block-path cost (vmapped over 8 objects × batch) was WORSE than
-        # the 65k-index gather (0.29 s vs 0.18 s per 8 draws at 480p).
-        # Only the smooth full-frame background affine uses the block warp.
-        warped = resample2d(pat, flow)  # [P, P, 4]
+        # Patch warp via the block-sliced residual-window path, NOT a
+        # per-pixel gather. Round-5 decomposition on TPU (single-dispatch
+        # probes, /tmp records in docs/MEMORY_BUDGET.md §dispatch): the
+        # fused refine step at 480p was 7.0 s of which the model
+        # fwd+bwd+adam was 0.05 s — 99 % was lucid_frame, dominated by
+        # these K×batch = 64 per-pixel 256² gathers (~60 ms each,
+        # scalarized addressing; an earlier in-repo note claiming the
+        # gather was faster than the block path was a mismeasurement —
+        # this platform memoizes identical buffers, README "Timing
+        # methodology"). Envelope: rot ≤15°/scale 0.9–1.1 gives flow
+        # gradients ≤ ~0.3 px/px and the elastic field ≤ ~0.4 at 3σ
+        # (amplitude 8·blurred-noise over σ=12 px), so an (8,8) block's
+        # within-block displacement spread stays ≤ ~4 px < residual 6;
+        # rarer outlier pixels clamp to the window edge — augmentation
+        # jitter, documented with the other border-mode deviations above.
+        warped = resample2d_block(
+            pat, flow, block=(8, 8), residual=6, max_flow=64,
+            use_pallas=False,
+        )  # [P, P, 4]
         rgb = photometric(ks[3], warped[..., :3])
         m = warped[..., 3] / 255.0
         # destination: same-size box at the shifted center (frame-center
