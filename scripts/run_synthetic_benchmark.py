@@ -232,6 +232,48 @@ def tune_weights(pre_tune, args, rng=None, groups=None):
             best_t, best_w = t, w
             print(f"[tune] local {i + 1}/{args.tune_local} J&F={t:.4f}",
                   flush=True)
+    # Term-dropout refinement (round-5): the round-4 record's VAL ablations
+    # showed zeroed-term vectors (no_overlap 0.6578, no_reid 0.6074,
+    # no_objectness 0.6345 pooled) beating the searched vector (0.6002) —
+    # continuous search rarely lands exactly on zero, yet dropping a noisy
+    # term is often the best generalizer. Try every subset of
+    # {objectness, reid, overlap} zeroed (and reacquire off) around the
+    # incumbent, scored on the TUNE split only (no val leakage), then one
+    # more local pass around the post-drop winner (zeros are sticky under
+    # the multiplicative jitter, so the pass refines the surviving terms).
+    drop_sets = [[0], [1], [3], [0, 1], [0, 3], [1, 3], [0, 1, 3]]
+    pre_drop_w = best_w.copy()
+    for idxs in drop_sets:
+        for reacq_off in (False, True):
+            w = pre_drop_w.copy()
+            for j in idxs:
+                w[j] = 0.0
+            if reacq_off:
+                w[8] = 2.0
+            t = score(w)
+            log.append({"w": [float(x) for x in w],
+                        "tune_JF": round(float(t), 4), "kind": "drop"})
+            if t > best_t:
+                best_t, best_w = t, w
+                print(f"[tune] drop {idxs} reacq_off={reacq_off} "
+                      f"J&F={t:.4f}", flush=True)
+    if not np.array_equal(best_w, pre_drop_w):
+        for i in range(max(args.tune_local // 2, 1)):
+            w = (best_w * np.exp(rng.normal(0, 0.15, size=9))).astype(
+                np.float32)
+            w[5] = max(0.0, float(best_w[5] + rng.normal(0, 0.15)))
+            w[6] = float(np.clip(
+                best_w[6] * np.exp(rng.normal(0, 0.08)), 0.3, 1.0))
+            w[7] = float(np.clip(best_w[7] + rng.normal(0, 0.05), 0.0, 0.7))
+            if best_w[8] < 1.0:
+                w[8] = float(np.clip(
+                    best_w[8] + rng.normal(0, 0.05), 0.3, 0.99))
+            t = score(w)
+            log.append({"w": [float(x) for x in w],
+                        "tune_JF": round(float(t), 4), "kind": "drop-local"})
+            if t > best_t:
+                best_t, best_w = t, w
+                print(f"[tune] drop-local {i + 1} J&F={t:.4f}", flush=True)
     return best_w, float(best_t), log
 
 
