@@ -673,9 +673,15 @@ def main(argv=None):
     )
     from premvos_tpu.parallel.mesh import make_mesh
 
-    cfg = bench_config(args.score_threshold, args.max_proposals,
-                   tuple(args.canvas) if args.canvas else None,
-                   depth=args.depth)
+    # None → bench_config's documented recall recipe (0.01/16), NOT
+    # demo_config's 0.05/8: passing None through used to silently skip the
+    # override and the round-4 multi-seed record lost the measured +0.068
+    # J&F of the low-threshold/16-proposal knobs (bench_config docstring).
+    cfg = bench_config(
+        0.01 if args.score_threshold is None else args.score_threshold,
+        16 if args.max_proposals is None else args.max_proposals,
+        tuple(args.canvas) if args.canvas else None,
+        depth=args.depth)
     p = cfg.pipeline
 
     root = args.data_root or tempfile.mkdtemp(prefix="synthetic_vos_")
@@ -928,6 +934,12 @@ def main(argv=None):
             f"{p.image_height}×{p.image_width} canvas"
         ),
     }
+    # Write the gate result BEFORE the (long) finetune-curve phase: a
+    # crash or round cutoff mid-curve must not lose the headline record.
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
     if args.finetune:
         report["finetune"] = finetune_pair(
             args, cfg, models, params, ds_val, mesh, precomputed,
